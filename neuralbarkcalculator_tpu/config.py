@@ -1,0 +1,102 @@
+"""Central configuration for the TPU-native bark calculator.
+
+Every constant here is pinned to the reference implementation so behaviour is
+reproducible (citations are file:line into /root/reference/):
+
+- normalization (inference): models.py:208-209
+- normalization (training, cached): utils.py:45-46
+- mm^2 per pixel calibration: models.py:210
+- class weights (nothing/bark/node): utils.py:73
+- small-zone removal threshold + connectivity: utils.py:140-143
+- preprocess target size: models.py:170
+- trim_black thresholds: models.py:157-166
+- wood types: dataset.py:50, predict.py:15
+- training recipe: __main__.py:234-269
+- splits: utils.py:76-115
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+WOOD_TYPES = ("epinette_gelee", "epinette_non_gelee", "sapin")
+CLASS_NAMES = ("Nothing", "Bark", "Node")
+NUM_CLASSES = 3
+
+# Inference-time normalization constants (reference models.py:208-209).
+DEFAULT_MEAN = (0.7399, 0.6139, 0.4401)
+DEFAULT_STD = (0.1068, 0.1272, 0.1271)
+
+# Training-time cached dataset statistics (reference utils.py:45-46).
+TRAIN_MEAN = (0.7358871102333069, 0.6107082366943359, 0.4379482865333557)
+TRAIN_STD = (0.11245555430650711, 0.12965525686740875, 0.12750858068466187)
+
+# Area of one pixel in mm^2 at the calibrated capture scale (models.py:210).
+DEFAULT_MM_PER_PIXEL = 3.6 * 3.6
+
+# Inverse-frequency class weights for the weighted CE loss (utils.py:73).
+CLASS_WEIGHTS = (0.4004, 2.0334, 93.1921)
+
+# Connected-component postprocess (utils.py:140-143). NB: README says 100 but
+# the code uses 150; the code wins (SURVEY.md section 6).
+SMALL_ZONE_THRESHOLD = 150
+SMALL_ZONE_CONNECTIVITY = 2  # 8-connectivity
+
+# Preprocessing (models.py:157-201).
+PREPROCESS_TARGET_SIZE = 1024
+TRIM_PIXEL_THRESHOLD = 1e-3  # channel-sum > this counts as non-black
+TRIM_ROW_FRACTION = 0.85  # row kept if > this fraction of pixels non-black
+
+IMG_EXTENSIONS = (
+    ".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tiff", "webp",
+)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Training hyperparameters, defaults pinned to __main__.py:234-269."""
+
+    seed: int = 42
+    lr: float = 5e-4
+    weight_decay: float = 2e-3  # torch-Adam style L2 (added to grads)
+    crop_size: int = 512
+    batch_size: int = 5
+    epochs: int = 30
+    dropout: float = 0.8  # __main__.py:231
+    # Sampling: WeightedRandomSampler num_samples = len(train)*12
+    # (__main__.py:168-171), drop_last=True.
+    samples_per_epoch_factor: int = 12
+    # ReduceLROnPlateau (__main__.py:245-250)
+    plateau_factor: float = 0.2
+    plateau_patience: int = 3
+    plateau_threshold: float = 1e-1  # absolute threshold mode
+    # EarlyStopping (__main__.py:253-257)
+    early_stop_min_delta: float = 1e-1
+    early_stop_patience: int = 8
+    monitor: str = "val_miou"  # __main__.py:241
+    monitor_mode: str = "max"
+    # Augmentation (__main__.py:155-166)
+    jitter_saturation: float = 0.2
+    jitter_brightness: float = 0.1
+    pad_resize_size: int = 1024
+    # Splits (utils.py:77-79)
+    train_percent: float = 0.8
+    valid_percent: float = 0.1
+
+
+@dataclasses.dataclass
+class PredictConfig:
+    """Inference configuration, defaults pinned to models.py:206-228."""
+
+    model_path: str = "./best_model.pt"
+    mean: Sequence[float] = DEFAULT_MEAN
+    std: Sequence[float] = DEFAULT_STD
+    target_size: int = PREPROCESS_TARGET_SIZE
+    mm_per_pix: float = DEFAULT_MM_PER_PIXEL
+    exclude_nodes: bool = False
+    # TPU-native additions (do not change reference-visible semantics):
+    batch_size: int = 8  # images per device step (reference is 1/sequential)
+    height_bucket: int = 128  # pad trimmed heights up to a multiple of this
+    figure_dpi: int = 200  # reference hardcodes 900 (models.py:346);
+    # ours is configurable because dpi=900 dominates reference wall-time.
+    use_bfloat16: bool = True  # run the conv stack in bf16 on the MXU
