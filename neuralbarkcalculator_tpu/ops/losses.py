@@ -1,0 +1,129 @@
+"""Segmentation losses, JAX-native with static shapes.
+
+Ports the reference loss menu (all jit/grad-compatible):
+
+- Lovász-Softmax (reference lovasz_losses.py:162-223, Berman 2018): the
+  training loss actually used (__main__.py:239). The reference's dynamic
+  ``classes='present'`` filtering is reformulated with a static mask so the
+  whole loss is one traced program: per class we always sort, and weight the
+  class term by its presence indicator.
+- Lovász hinge, binary variants (lovasz_losses.py:83-156).
+- CustomWeightedCrossEntropy (utils.py:151-165): per-pixel CE weighted by
+  ``weights[max(argmax(pred), true)]``.
+- JaccardLoss (utils.py:168-182), MixedLoss = CWE/4 + Lovász
+  (utils.py:185-192).
+
+Native layout is NHWC (channels last — the TPU-friendly convention used
+throughout this framework); labels are [..., H, W] int.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import NUM_CLASSES
+
+
+def lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Gradient of the Lovász extension w.r.t. sorted errors
+    (reference lovasz_losses.py:19-31, Alg. 1 of Berman 2018)."""
+    gts = jnp.sum(gt_sorted)
+    intersection = gts - jnp.cumsum(gt_sorted, 0)
+    union = gts + jnp.cumsum(1.0 - gt_sorted, 0)
+    jaccard = 1.0 - intersection / union
+    # jaccard[1:] -= jaccard[:-1]
+    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+
+
+def _lovasz_softmax_flat(probas: jnp.ndarray, labels: jnp.ndarray,
+                         num_classes: int) -> jnp.ndarray:
+    """probas [P, C], labels [P] -> scalar. 'present'-classes mean with a
+    static shape: every class term is computed, masked by presence."""
+
+    def class_loss(c):
+        fg = (labels == c).astype(probas.dtype)
+        errors = jnp.abs(fg - probas[:, c])
+        # descending sort of errors, permuting fg along
+        perm = jnp.argsort(-errors)
+        errors_sorted = errors[perm]
+        fg_sorted = fg[perm]
+        grad = jax.lax.stop_gradient(lovasz_grad(fg_sorted))
+        present = jnp.sum(fg) > 0
+        return jnp.dot(errors_sorted, grad), present
+
+    losses, present = jax.vmap(class_loss)(jnp.arange(num_classes))
+    present = present.astype(probas.dtype)
+    return jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
+
+
+def lovasz_softmax_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                        num_classes: int = NUM_CLASSES) -> jnp.ndarray:
+    """LovaszSoftmax module parity (lovasz_losses.py:162-166 + 169-223 with
+    per_image=False, classes='present').
+
+    logits: [..., H, W, C]; labels: [..., H, W] int.
+    """
+    probas = jax.nn.softmax(logits, axis=-1)
+    flat_p = probas.reshape(-1, num_classes)
+    flat_l = labels.reshape(-1)
+    return _lovasz_softmax_flat(flat_p, flat_l, num_classes)
+
+
+def lovasz_hinge_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Binary Lovász hinge, per_image=False (lovasz_losses.py:83-119).
+
+    logits: [..., H, W] real-valued; labels: [..., H, W] in {0, 1}.
+    """
+    flat_logits = logits.reshape(-1)
+    flat_labels = labels.reshape(-1).astype(flat_logits.dtype)
+    signs = 2.0 * flat_labels - 1.0
+    errors = 1.0 - flat_logits * signs
+    perm = jnp.argsort(-errors)
+    errors_sorted = errors[perm]
+    gt_sorted = flat_labels[perm]
+    grad = jax.lax.stop_gradient(lovasz_grad(gt_sorted))
+    return jnp.dot(jax.nn.relu(errors_sorted), grad)
+
+
+def stable_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """StableBCELoss parity (lovasz_losses.py:137-144)."""
+    x = logits.reshape(-1)
+    t = targets.reshape(-1).astype(x.dtype)
+    loss = jnp.clip(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    return jnp.mean(loss)
+
+
+def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                           weights: jnp.ndarray) -> jnp.ndarray:
+    """CustomWeightedCrossEntropy parity (utils.py:151-165): each pixel's CE
+    is weighted by ``weights[max(argmax(logit), label)]`` — the
+    max-of-predicted-and-true class weight described in the reference README.
+
+    logits: [..., H, W, C]; labels: [..., H, W] int; weights: [C].
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    max_classes = jnp.maximum(jnp.argmax(logits, axis=-1), labels)
+    w = weights[max_classes]
+    return jnp.mean(ce * w)
+
+
+def jaccard_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                 eps: float = 1e-7,
+                 num_classes: int = NUM_CLASSES) -> jnp.ndarray:
+    """JaccardLoss parity (utils.py:168-182): soft IoU over (batch, spatial)
+    reduced dims, averaged over classes."""
+    probas = jax.nn.softmax(logits, axis=-1)
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=probas.dtype)
+    reduce_axes = tuple(range(probas.ndim - 1))  # all but class dim
+    intersection = jnp.sum(probas * one_hot, axis=reduce_axes)
+    cardinality = jnp.sum(probas + one_hot, axis=reduce_axes)
+    union = cardinality - intersection
+    return 1.0 - jnp.mean(intersection / (union + eps))
+
+
+def mixed_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+               cwe_weights: jnp.ndarray) -> jnp.ndarray:
+    """MixedLoss parity (utils.py:185-192): CWE/4 + Lovász-Softmax."""
+    return (weighted_cross_entropy(logits, labels, cwe_weights) / 4.0
+            + lovasz_softmax_loss(logits, labels))

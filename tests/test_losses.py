@@ -1,0 +1,142 @@
+"""Golden tests for losses vs independent numpy/torch implementations."""
+import numpy as np
+import pytest
+
+from neuralbarkcalculator_tpu.ops.losses import (
+    jaccard_loss,
+    lovasz_grad,
+    lovasz_hinge_loss,
+    lovasz_softmax_loss,
+    mixed_loss,
+    stable_bce_loss,
+    weighted_cross_entropy,
+)
+
+C = 3
+
+
+def _np_softmax(x, axis):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _np_lovasz_grad(gt_sorted):
+    gts = gt_sorted.sum()
+    intersection = gts - np.cumsum(gt_sorted)
+    union = gts + np.cumsum(1.0 - gt_sorted)
+    jac = 1.0 - intersection / union
+    out = jac.copy()
+    out[1:] = jac[1:] - jac[:-1]
+    return out
+
+
+def _np_lovasz_softmax(logits, labels):
+    """Berman Alg.1, per_image=False, classes='present'."""
+    probas = _np_softmax(logits, axis=-1).reshape(-1, C)
+    labels = labels.reshape(-1)
+    losses = []
+    for c in range(C):
+        fg = (labels == c).astype(np.float64)
+        if fg.sum() == 0:
+            continue
+        errors = np.abs(fg - probas[:, c])
+        perm = np.argsort(-errors, kind="stable")
+        losses.append(np.dot(errors[perm], _np_lovasz_grad(fg[perm])))
+    return np.mean(losses)
+
+
+def test_lovasz_grad(rng):
+    gt = (rng.random(50) > 0.5).astype(np.float32)
+    got = np.asarray(lovasz_grad(gt))
+    np.testing.assert_allclose(got, _np_lovasz_grad(gt.astype(np.float64)),
+                               atol=1e-6)
+
+
+def test_lovasz_softmax(rng):
+    logits = rng.normal(size=(2, 8, 8, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(2, 8, 8))
+    got = float(lovasz_softmax_loss(logits, labels))
+    want = _np_lovasz_softmax(logits.astype(np.float64), labels)
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_lovasz_softmax_absent_class(rng):
+    # only classes 0 and 1 present -> class 2 term excluded from the mean
+    logits = rng.normal(size=(1, 8, 8, C)).astype(np.float32)
+    labels = rng.integers(0, 2, size=(1, 8, 8))
+    got = float(lovasz_softmax_loss(logits, labels))
+    want = _np_lovasz_softmax(logits.astype(np.float64), labels)
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_lovasz_softmax_gradient_flows(rng):
+    import jax
+    logits = rng.normal(size=(1, 4, 4, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(1, 4, 4))
+    g = jax.grad(lambda l: lovasz_softmax_loss(l, labels))(logits)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_weighted_cross_entropy_vs_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    logits = rng.normal(size=(2, 6, 6, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(2, 6, 6))
+    weights = np.array([0.4004, 2.0334, 93.1921], np.float32)
+
+    got = float(weighted_cross_entropy(logits, labels, weights))
+
+    lt = torch.from_numpy(logits.transpose(0, 3, 1, 2))
+    yt = torch.from_numpy(labels)
+    ent = F.cross_entropy(lt, yt, reduction="none")
+    max_classes = torch.max(torch.argmax(lt, dim=1), yt).flatten()
+    w = torch.from_numpy(weights)[max_classes].view(yt.shape)
+    want = float((ent * w).mean())
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_jaccard_loss(rng):
+    logits = rng.normal(size=(2, 6, 6, C)).astype(np.float64)
+    labels = rng.integers(0, C, size=(2, 6, 6))
+    probas = _np_softmax(logits, axis=-1)
+    one_hot = np.eye(C)[labels]
+    inter = (probas * one_hot).sum(axis=(0, 1, 2))
+    card = (probas + one_hot).sum(axis=(0, 1, 2))
+    want = 1 - (inter / (card - inter + 1e-7)).mean()
+    got = float(jaccard_loss(logits.astype(np.float32), labels))
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_mixed_loss_combination(rng):
+    logits = rng.normal(size=(1, 6, 6, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(1, 6, 6))
+    weights = np.array([0.4, 2.0, 93.0], np.float32)
+    got = float(mixed_loss(logits, labels, weights))
+    want = (float(weighted_cross_entropy(logits, labels, weights)) / 4
+            + float(lovasz_softmax_loss(logits, labels)))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_lovasz_hinge(rng):
+    logits = rng.normal(size=(6, 6)).astype(np.float64)
+    labels = (rng.random((6, 6)) > 0.5).astype(np.int32)
+    signs = 2.0 * labels.reshape(-1) - 1.0
+    errors = 1.0 - logits.reshape(-1) * signs
+    perm = np.argsort(-errors, kind="stable")
+    want = np.dot(np.maximum(errors[perm], 0),
+                  _np_lovasz_grad(labels.reshape(-1)[perm].astype(float)))
+    got = float(lovasz_hinge_loss(logits.astype(np.float32), labels))
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_stable_bce_vs_torch(rng):
+    torch = pytest.importorskip("torch")
+    logits = rng.normal(size=(50,)).astype(np.float32)
+    targets = (rng.random(50) > 0.5).astype(np.float32)
+    x = torch.from_numpy(logits)
+    t = torch.from_numpy(targets)
+    want = float((x.clamp(min=0) - x * t + (1 + (-x.abs()).exp()).log()).mean())
+    got = float(stable_bce_loss(logits, targets))
+    assert got == pytest.approx(want, rel=1e-5)
