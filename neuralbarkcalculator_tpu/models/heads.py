@@ -1,0 +1,107 @@
+"""Segmentation heads: FCN and DeepLabV3 (ASPP), NHWC Flax.
+
+- FCNHead (reference models.py:113-124): 3x3 conv (in->in/4, no bias) + BN +
+  ReLU + Dropout + 1x1 conv (->classes, with bias).
+- DeepLabHead (torchvision, used by reference models.py:46-71): ASPP with
+  atrous rates (12, 24, 36) + global-pooling branch, projected to 256 then
+  3x3 conv + BN + ReLU + 1x1 classifier.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class FCNHead(nn.Module):
+    """Reference FCNHead parity (models.py:113-124)."""
+
+    channels: int  # number of classes
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inter = x.shape[-1] // 4
+        x = nn.Conv(inter, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                    name="conv2")(x)
+        return x
+
+
+class ASPPConv(nn.Module):
+    rate: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(256, (3, 3), padding=[(self.rate,) * 2] * 2,
+                    kernel_dilation=(self.rate, self.rate), use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        return nn.relu(x)
+
+
+class ASPP(nn.Module):
+    """torchvision ASPP: 1x1 + three atrous convs + pooled branch, projected
+    back to 256 channels with dropout 0.5."""
+
+    rates: Sequence[int] = (12, 24, 36)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name=name)
+        branches = []
+        b = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="b0_conv")(x)
+        branches.append(nn.relu(norm("b0_bn")(b)))
+        for i, rate in enumerate(self.rates):
+            branches.append(
+                ASPPConv(rate, dtype=self.dtype, name=f"b{i + 1}")(
+                    x, train=train))
+        # global-pooling branch: mean -> 1x1 conv -> BN -> ReLU -> broadcast
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+                         name="pool_conv")(pooled)
+        pooled = nn.relu(norm("pool_bn")(pooled))
+        branches.append(
+            jnp.broadcast_to(pooled,
+                             (*x.shape[:-1], pooled.shape[-1])))
+
+        y = jnp.concatenate(branches, axis=-1)
+        y = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_conv")(y)
+        y = nn.relu(norm("project_bn")(y))
+        y = nn.Dropout(rate=0.5, deterministic=not train)(y)
+        return y
+
+
+class DeepLabHead(nn.Module):
+    """torchvision DeepLabHead parity (used at reference models.py:55)."""
+
+    channels: int  # number of classes
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ASPP(dtype=self.dtype, name="aspp")(x, train=train)
+        x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                    name="classifier")(x)
+        return x

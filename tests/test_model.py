@@ -1,0 +1,95 @@
+"""Model parity tests: Flax NHWC model vs the torch reference architecture.
+
+The strongest correctness test in the suite: a randomly initialized torch
+replica of the reference fcn_resnet50 (exact torchvision naming) is
+converted with models/convert.py and must produce the same logits as our
+Flax model — validating conv arithmetic, dilation layout, BN, the FCN head,
+and the bicubic upsample end to end.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from torch_ref import fcn_resnet50_torch  # noqa: E402
+
+from neuralbarkcalculator_tpu.models.convert import (  # noqa: E402
+    torch_state_dict_to_variables,
+)
+from neuralbarkcalculator_tpu.models.segmentation import (  # noqa: E402
+    fcn_resnet50,
+)
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    torch.manual_seed(0)
+    model = fcn_resnet50_torch()
+    # Perturb BN running stats away from init so mapping bugs can't hide.
+    model.train()
+    with torch.no_grad():
+        for _ in range(2):
+            model(torch.randn(2, 3, 64, 64))
+    model.eval()
+    return model
+
+
+def test_forward_parity_with_torch(torch_model):
+    x = np.random.default_rng(1).normal(
+        size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = torch_model(torch.from_numpy(x)).numpy()
+
+    variables = torch_state_dict_to_variables(torch_model.state_dict())
+    model = fcn_resnet50()
+    got = model.apply(variables, x.transpose(0, 2, 3, 1), train=False)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+    # argmax masks must agree everywhere (what actually matters downstream)
+    np.testing.assert_array_equal(got.argmax(1), want.argmax(1))
+
+
+def test_output_stride_8(torch_model):
+    variables = torch_state_dict_to_variables(torch_model.state_dict())
+    model = fcn_resnet50()
+    import jax.numpy as jnp
+    feat = model.backbone.bind(
+        {"params": variables["params"]["backbone"],
+         "batch_stats": variables["batch_stats"]["backbone"]},
+    )(jnp.zeros((1, 64, 64, 3)), train=False)
+    assert feat.shape == (1, 8, 8, 2048)  # 64/8, channels 2048
+
+
+def test_init_and_param_count():
+    import jax
+
+    model = fcn_resnet50()
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 32, 32, 3), np.float32))
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    # torchvision fcn_resnet50 (no aux) with 3 classes: ~33M weights + BN
+    assert 32_000_000 < n_params < 36_000_000
+
+
+def test_train_mode_updates_batch_stats():
+    import jax
+
+    model = fcn_resnet50(dropout=0.5)
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(
+        np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, mutated = model.apply(
+        variables, x, train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out.shape == (2, 32, 32, 3)
+    before = variables["batch_stats"]["backbone"]["bn1"]["mean"]
+    after = mutated["batch_stats"]["backbone"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
