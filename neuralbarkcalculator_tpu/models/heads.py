@@ -13,19 +13,26 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .resnet import apply_row_mask
+
 Dtype = Any
 
 
 class FCNHead(nn.Module):
-    """Reference FCNHead parity (models.py:113-124)."""
+    """Reference FCNHead parity (models.py:113-124).
+
+    ``valid_h`` (feature-resolution valid heights, [B]) masks the input of
+    the 3x3 conv for exact ragged-height batching (see models/resnet.py).
+    """
 
     channels: int  # number of classes
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_h=None):
         inter = x.shape[-1] // 4
+        x = apply_row_mask(x, valid_h)
         x = nn.Conv(inter, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -59,10 +66,11 @@ class ASPP(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_h=None):
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name=name)
+        x = apply_row_mask(x, valid_h)  # atrous 3x3 branches mix rows
         branches = []
         b = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
                     name="b0_conv")(x)
@@ -72,7 +80,13 @@ class ASPP(nn.Module):
                 ASPPConv(rate, dtype=self.dtype, name=f"b{i + 1}")(
                     x, train=train))
         # global-pooling branch: mean -> 1x1 conv -> BN -> ReLU -> broadcast
-        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        if valid_h is None:
+            pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        else:
+            # masked mean: padded rows are zero, divide by the true count
+            denom = (valid_h.astype(x.dtype) * x.shape[2])[:, None, None,
+                                                           None]
+            pooled = jnp.sum(x, axis=(1, 2), keepdims=True) / denom
         pooled = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
                          name="pool_conv")(pooled)
         pooled = nn.relu(norm("pool_bn")(pooled))
@@ -95,8 +109,10 @@ class DeepLabHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = ASPP(dtype=self.dtype, name="aspp")(x, train=train)
+    def __call__(self, x, train: bool = False, valid_h=None):
+        x = ASPP(dtype=self.dtype, name="aspp")(x, train=train,
+                                                valid_h=valid_h)
+        x = apply_row_mask(x, valid_h)
         x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -15,6 +15,17 @@ expectations for checkpoint conversion (models/convert.py).
 
 Compute dtype is configurable (bf16 for the MXU fast path); BatchNorm
 statistics/params stay float32.
+
+Ragged-height batching (``valid_h``): folder inference batches images whose
+trimmed heights differ (reference models.py:200-201) by zero-padding them to
+one static height. To keep *exact* per-image semantics inside the padded
+batch, a row mask is applied to the input of every op whose kernel mixes
+rows (7x7/3x3 convs, max-pool): rows beyond an image's valid height are
+forced to zero, which is precisely what the reference's per-image conv
+zero-padding provides at the true bottom boundary. 1x1 convs, BN (eval) and
+ReLU are pointwise, so garbage rows they produce are cleaned at the next
+masked op and never leak into valid rows. The per-stage valid heights follow
+the conv output-size arithmetic (floor((h + 2p - k)/s) + 1).
 """
 from __future__ import annotations
 
@@ -24,6 +35,24 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 Dtype = Any
+
+
+def conv_out_size(h, kernel: int, stride: int, padding: int):
+    """torch/XLA conv output length along one dim (works on traced ints)."""
+    return (h + 2 * padding - kernel) // stride + 1
+
+
+def row_mask(valid_h, height: int, dtype) -> jnp.ndarray:
+    """[B] valid heights -> [B, height, 1, 1] {0,1} mask (NHWC broadcast)."""
+    rows = jnp.arange(height, dtype=jnp.int32)
+    return (rows[None, :] < valid_h[:, None]).astype(dtype)[:, :, None, None]
+
+
+def apply_row_mask(x, valid_h):
+    """Zero rows >= valid_h of an NHWC tensor; no-op when valid_h is None."""
+    if valid_h is None:
+        return x
+    return x * row_mask(valid_h, x.shape[1], x.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -36,7 +65,7 @@ class Bottleneck(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_h=None):
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name=name)
@@ -49,6 +78,9 @@ class Bottleneck(nn.Module):
         identity = x
         out = conv(self.planes, 1, 1, 1, "conv1")(x)
         out = nn.relu(norm("bn1")(out))
+        # conv2 is the only row-mixing op in the block: mask its input so
+        # rows beyond valid_h read as zero (= reference conv zero-padding).
+        out = apply_row_mask(out, valid_h)
         out = conv(self.planes, 3, self.stride, self.dilation, "conv2")(out)
         out = nn.relu(norm("bn2")(out))
         out = conv(self.planes * 4, 1, 1, 1, "conv3")(out)
@@ -71,14 +103,22 @@ class DilatedResNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_h=None):
+        # The raw input is zero below valid_h by construction (host pads
+        # with zeros), so the stem conv needs no input mask.
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x)
+        h = None if valid_h is None else conv_out_size(valid_h, 7, 2, 3)
+        # max_pool mixes rows; masked zeros are equivalent to torch's -inf
+        # padding here because pre-pool activations are post-ReLU (>= 0).
+        x = apply_row_mask(x, h)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)])
+        if h is not None:
+            h = conv_out_size(h, 3, 2, 1)
 
         inplanes = 64
         dilation = 1
@@ -99,9 +139,21 @@ class DilatedResNet(nn.Module):
                         stride != 1 or inplanes != planes * 4),
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
-                )(x, train=train)
+                )(x, train=train, valid_h=h)
                 inplanes = planes * 4
+                if first and h is not None and stride != 1:
+                    h = conv_out_size(h, 3, stride, 1)
         return x
+
+    def valid_feature_height(self, valid_h):
+        """Valid rows of the returned feature map for input valid_h (the
+        same conv arithmetic the masked forward uses)."""
+        h = conv_out_size(valid_h, 7, 2, 3)   # stem conv
+        h = conv_out_size(h, 3, 2, 1)         # max pool
+        for stage in range(1, len(self.stage_sizes)):
+            if not self.replace_stride_with_dilation[stage - 1]:
+                h = conv_out_size(h, 3, 2, 1)  # stage's strided conv2
+        return h
 
 
 def resnet50_dilated(dtype: Dtype = jnp.float32) -> DilatedResNet:

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..config import NUM_CLASSES
-from ..ops.resize import bicubic_upsample
+from ..ops.resize import bicubic_upsample, bicubic_upsample_ragged
 from .heads import DeepLabHead, FCNHead
 from .resnet import resnet101_dilated, resnet50_dilated
 
@@ -27,17 +27,31 @@ Dtype = Any
 
 
 class SegmentationModel(nn.Module):
-    """backbone features -> head logits -> bicubic upsample to input H, W."""
+    """backbone features -> head logits -> bicubic upsample to input H, W.
+
+    Ragged-height batched inference: pass ``valid_h`` ([B] true trimmed
+    heights; inputs zero-padded to the static H) and ``row_upsample``
+    ([B, H, H//8] per-image embedded bicubic row operators, see
+    ops/resize.py:embedded_bicubic_rows). Together these make the padded
+    batch bit-equivalent to running each image at its own height
+    (masking rationale in models/resnet.py). Without them this is the plain
+    reference forward (models.py:33-43).
+    """
 
     backbone: nn.Module
     classifier: nn.Module
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_h=None,
+                 row_upsample=None):
         in_h, in_w = x.shape[1], x.shape[2]
-        feat = self.backbone(x, train=train)
-        logits = self.classifier(feat, train=train)
+        feat_h = (None if valid_h is None
+                  else self.backbone.valid_feature_height(valid_h))
+        feat = self.backbone(x, train=train, valid_h=valid_h)
+        logits = self.classifier(feat, train=train, valid_h=feat_h)
         logits = logits.astype(jnp.float32)
+        if row_upsample is not None:
+            return bicubic_upsample_ragged(logits, row_upsample, in_w)
         if (logits.shape[1], logits.shape[2]) != (in_h, in_w):
             logits = bicubic_upsample(logits, in_h, in_w)
         return logits

@@ -130,6 +130,44 @@ def _remove_small_zones_2d(img: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+@jax.jit
+def _remove_small_zones_masked_2d(img: jnp.ndarray,
+                                  valid_h: jnp.ndarray) -> jnp.ndarray:
+    """Reference semantics restricted to rows < valid_h of a padded [H, W]
+    class map: bit-equivalent to slicing to the true height, running
+    utils.py:135-148, and zero-padding back. Padded rows come back as 0.
+
+    - holes step: padded rows forced to class 0, so non-zero ('hole')
+      components live entirely in the valid region — identical labeling.
+    - objects step: the class-0 mask is additionally cut at valid_h so the
+      padded rows cannot merge with (and inflate) bottom-touching class-0
+      components; the boundary acts as the true image edge.
+    """
+    h = img.shape[0]
+    vm = (jnp.arange(h) < valid_h)[:, None]
+    img_v = jnp.where(vm, img, 0)
+    zero_mask = img_v == 0
+    filled = remove_small_holes(zero_mask, SMALL_ZONE_THRESHOLD)
+    cleaned = remove_small_objects(jnp.logical_and(filled, vm),
+                                   SMALL_ZONE_THRESHOLD)
+    out = img_v
+    out = jnp.where(jnp.logical_and(~cleaned,
+                                    jnp.logical_and(img_v == 0, vm)),
+                    1, out)
+    out = jnp.where(jnp.logical_and(cleaned, img_v != 0), 0, out)
+    return out
+
+
+def remove_small_zones_ragged(img: jnp.ndarray,
+                              valid_h: jnp.ndarray) -> jnp.ndarray:
+    """Masked remove_small_zones on [H, W] + scalar or [B, H, W] + [B]."""
+    if img.ndim == 2:
+        return _remove_small_zones_masked_2d(img, valid_h)
+    if img.ndim == 3:
+        return jax.vmap(_remove_small_zones_masked_2d)(img, valid_h)
+    raise ValueError(f"expected [H,W] or [B,H,W] class map, got {img.shape}")
+
+
 def remove_small_zones(img: jnp.ndarray) -> jnp.ndarray:
     """Reference utils.py:135-148 on [H, W] or batched [B, H, W] class maps.
 

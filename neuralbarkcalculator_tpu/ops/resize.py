@@ -159,6 +159,42 @@ def spline_resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return jnp.clip(out, jnp.min(img), jnp.max(img))
 
 
+def embedded_bicubic_rows(feat_h: int, out_h: int, pad_feat: int,
+                          pad_out: int) -> np.ndarray:
+    """The (feat_h -> out_h) bicubic row operator embedded top-left in a
+    zero [pad_out, pad_feat] matrix.
+
+    Used for exact ragged-height batched inference: each image's true
+    ``feat_h -> trimmed_h`` torch-bicubic mapping (which depends on both
+    sizes; reference models.py:38-41) is carried as a per-image operator so
+    one static-shape batched einsum serves mixed heights. Zero rows/columns
+    make padded feature rows inert and padded output rows zero.
+    """
+    if feat_h > pad_feat or out_h > pad_out:
+        raise ValueError("embedded operator larger than its padding")
+    base = bicubic_resize_matrix(feat_h, out_h)
+    out = np.zeros((pad_out, pad_feat), dtype=np.float32)
+    out[:out_h, :feat_h] = base
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def bicubic_upsample_ragged(x: jnp.ndarray, row_ops: jnp.ndarray,
+                            out_w: int) -> jnp.ndarray:
+    """Per-image-row-operator bicubic upsample of NHWC feature maps.
+
+    x: [N, F, Wf, C]; row_ops: [N, OH, F] (from embedded_bicubic_rows);
+    width uses the static (Wf -> out_w) operator (widths never vary: the
+    reference trims rows only, models.py:157-166).
+    """
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)
+    r_cols = jnp.asarray(bicubic_resize_matrix(x.shape[2], out_w),
+                         dtype=jnp.float32)
+    out = jnp.einsum("nof,nfwc->nowc", row_ops, x.astype(jnp.float32), **kw)
+    return jnp.einsum("pw,nowc->nopc", r_cols, out, **kw)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def bicubic_upsample(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """torch-parity bicubic resize of NHWC feature maps (no clipping).
