@@ -1,0 +1,72 @@
+"""Production inference CLI (reference predict.py:61-81 parity).
+
+Usage: ``python -m neuralbarkcalculator_tpu.cli.predict ROOT_DIR
+[--device {tpu,cpu}] [--exclude_nodes] [--only_preprocess]``
+
+The reference's ``--device {cpu,cuda:0,cuda:1}`` maps to JAX platform
+selection; cuda values are accepted (for drop-in script compatibility) and
+select the default accelerator. Additive flags (defaults preserve reference
+behavior): --model_path, --batch_size, --dpi, --float32.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native bark calculator inference")
+    parser.add_argument("root_path", type=str, help="root directory path.")
+    parser.add_argument("--device", type=str, default="default",
+                        choices=["default", "tpu", "cpu", "cuda:0",
+                                 "cuda:1"],
+                        help="Backend: tpu/cpu; cuda:* accepted for "
+                             "reference-script compatibility (maps to the "
+                             "default accelerator).")
+    parser.add_argument("--exclude_nodes", action="store_true",
+                        default=False)
+    parser.add_argument("--only_preprocess", action="store_true",
+                        default=False)
+    parser.add_argument("--model_path", type=str, default="./best_model.pt",
+                        help="reference .pt, flax .msgpack, or orbax dir "
+                             "(reference loads ./best_model.pt, "
+                             "predict.py:57)")
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="images per device step (default from "
+                             "PredictConfig)")
+    parser.add_argument("--dpi", type=int, default=None,
+                        help="combined-figure dpi (reference hardcodes "
+                             "900, models.py:346)")
+    parser.add_argument("--float32", action="store_true", default=False,
+                        help="run the conv stack in float32 instead of "
+                             "bfloat16")
+    return parser
+
+
+def main(args: argparse.Namespace) -> None:
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..config import PredictConfig
+    from ..pipeline.folders import generate_folders
+    from ..pipeline.predict import NeuralBarkCalculator
+    from ..pipeline.preprocess import Preprocessor
+
+    generate_folders(args.root_path, args.only_preprocess)
+    images = Preprocessor().preprocess_images(args.root_path)
+
+    if not args.only_preprocess:
+        config = PredictConfig(model_path=args.model_path)
+        if args.batch_size is not None:
+            config.batch_size = args.batch_size
+        if args.dpi is not None:
+            config.figure_dpi = args.dpi
+        if args.float32:
+            config.use_bfloat16 = False
+        model = NeuralBarkCalculator(args.model_path, config=config)
+        model.predict(args.root_path, args.exclude_nodes, images=images)
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -1,0 +1,80 @@
+"""Training CLI (reference __main__.py:467-494 parity).
+
+Usage: ``python -m neuralbarkcalculator_tpu.cli.train ROOT_DIR
+[--device] [--seed]``
+
+Reference flow (__main__.py:199-311): dataset at
+ROOT_DIR/Images/1024_with_jedi, checkpoints under ROOT_DIR/moar, train
+fcn_resnet50(dropout=0.8) for 30 epochs, test, then render the evaluation
+report. Additive flags let CI/tests shrink the run and pick the
+README-variant recipe (weighted CE + pixel-F1 selection, README.md:66).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native bark calculator training")
+    parser.add_argument("root_dir", type=str, help="root directory path.")
+    parser.add_argument("--device", type=str, default="default",
+                        choices=["default", "tpu", "cpu", "cuda:0",
+                                 "cuda:1"])
+    parser.add_argument("--seed", type=int, default=42,
+                        help="Which random seed to use.")
+    # additive flags (defaults = reference recipe)
+    parser.add_argument("--data_dir", type=str, default=None,
+                        help="dataset dir (default "
+                             "ROOT_DIR/Images/1024_with_jedi, "
+                             "__main__.py:200-202)")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--crop_size", type=int, default=None)
+    parser.add_argument("--model", type=str, default="fcn_resnet50")
+    parser.add_argument("--loss", type=str, default="lovasz",
+                        choices=["lovasz", "cwe", "mixed", "jaccard"])
+    parser.add_argument("--monitor", type=str, default=None,
+                        help="val_miou (code default, __main__.py:241) or "
+                             "val_f1 (README-described selection)")
+    parser.add_argument("--no_report", action="store_true", default=False,
+                        help="skip the per-image evaluation report")
+    parser.add_argument("--report_dpi", type=int, default=200)
+    return parser
+
+
+def main(args: argparse.Namespace) -> None:
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..config import TrainConfig
+    from ..train.evaluate import evaluation_report
+    from ..train.loop import Experiment
+
+    config = TrainConfig(seed=args.seed)
+    if args.epochs is not None:
+        config.epochs = args.epochs
+    if args.batch_size is not None:
+        config.batch_size = args.batch_size
+    if args.crop_size is not None:
+        config.crop_size = args.crop_size
+
+    data_dir = args.data_dir or os.path.join(args.root_dir, "Images",
+                                             "1024_with_jedi")
+    exp = Experiment(data_dir, os.path.join(args.root_dir, "moar"),
+                     config=config, model_name=args.model,
+                     loss_name=args.loss, monitor=args.monitor)
+    exp.train()
+    exp.test()
+    try:
+        exp.load_best()
+    except FileNotFoundError:
+        pass
+    if not args.no_report:
+        evaluation_report(exp, args.root_dir, dpi=args.report_dpi)
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

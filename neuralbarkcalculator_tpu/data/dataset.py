@@ -95,6 +95,18 @@ def decode_label(target: np.ndarray | None,
     return np.rint(t * 2.0).astype(np.int32)
 
 
+def load_image_u8(path: str, grayscale: bool = False) -> np.ndarray | None:
+    """PIL decode to uint8; RGB -> [H,W,3], L -> [H,W]. The uint8 twin of
+    ``load_image`` for pipelines that normalize on device (4x less
+    host->device traffic)."""
+    if not path or not os.path.isfile(path):
+        return None
+    with open(path, "rb") as f:
+        img = Image.open(f)
+        img = img.convert("L" if grayscale else "RGB")
+        return np.asarray(img, dtype=np.uint8)
+
+
 def save_image_u8(path: str, img: np.ndarray) -> None:
     """Save float [0,1] (HWC or HW) or uint8 array as PNG/BMP via PIL."""
     if img.dtype != np.uint8:

@@ -1,0 +1,199 @@
+"""The folder inference engine (reference NeuralBarkCalculator,
+models.py:206-364), rebuilt TPU-first.
+
+The reference runs strictly batch_size=1, with two device<->host round
+trips per image (models.py:249-262). Here the whole folder is batched:
+
+- processed images (uint8, width 1024, ragged trimmed heights) are grouped
+  into static height buckets (multiples of PredictConfig.height_bucket) and
+  batched; per-image row masks + embedded bicubic operators make the padded
+  batch *exactly* equivalent to per-image execution (models/resnet.py,
+  ops/resize.py) — no recompilation per height;
+- one jitted program per (bucket, batch) shape does normalize -> forward ->
+  argmax -> remove_small_zones -> exclude_nodes remap on device, sharded
+  over the mesh data axis (spatial width sharding over the model axis for
+  the conv stack; the connected-component stage is constrained back to
+  data-only sharding because its gathers are global per image);
+- only the uint8 class maps return to host, where artifact rendering
+  (pipeline/report.py) runs on threads, overlapped with the next batch.
+
+Checkpoints: a reference ``best_model.pt`` (torch state_dict, converted on
+load — models/convert.py), a flax msgpack file, or an orbax directory
+(train/checkpoint.py) all work.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import NUM_CLASSES, PredictConfig
+from ..data.dataset import load_image_u8, make_dataset
+from ..models.segmentation import MODEL_FACTORIES
+from ..ops.ccl import remove_small_zones_ragged
+from ..ops.resize import embedded_bicubic_rows
+from ..parallel.mesh import DATA_AXIS, ShardingRules, make_mesh, \
+    pad_to_multiple
+from .preprocess import ProcessedImage, _tqdm
+from .report import PredictReporter
+
+
+class NeuralBarkCalculator:
+    """Folder predictor with the reference's public surface
+    (models.py:212-245): ``NeuralBarkCalculator(model_path).predict(root,
+    exclude_nodes)``."""
+
+    def __init__(self, model_path: str,
+                 mesh=None,
+                 config: PredictConfig | None = None,
+                 model_name: str = "fcn_resnet50"):
+        self.config = config or PredictConfig(model_path=model_path)
+        dtype = jnp.bfloat16 if self.config.use_bfloat16 else jnp.float32
+        self.model = MODEL_FACTORIES[model_name](dtype=dtype)
+        self.rules = ShardingRules(mesh if mesh is not None else make_mesh())
+        variables = _load_variables(model_path, model_name)
+        self.variables = jax.device_put(variables, self.rules.replicated)
+        self.mean = np.asarray(self.config.mean, np.float32)
+        self.std = np.asarray(self.config.std, np.float32)
+
+    # ------------------------------------------------------------- public
+
+    def predict(self, root_path: str, exclude_nodes: bool = False,
+                images: Sequence[ProcessedImage] | None = None,
+                progress: bool = True) -> str:
+        """Predict every image under root/processed, writing results/
+        artifacts (combined figures, dual PNGs, final_stats.csv). Returns
+        the csv path.
+
+        ``images`` short-circuits re-reading the PNGs when the caller just
+        preprocessed them in the same process (full-pipeline fast path; the
+        PNGs on disk are identical by construction).
+        """
+        processed_path = os.path.join(root_path, "processed")
+        results_dir = os.path.join(root_path, "results")
+        if images is None:
+            records = make_dataset(processed_path)
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                arrays = list(pool.map(
+                    lambda r: load_image_u8(r.sample_path), records))
+            images = [ProcessedImage(a, r.fname, r.wood_type)
+                      for a, r in zip(arrays, records)]
+
+        reporter = PredictReporter(results_dir, dpi=self.config.figure_dpi,
+                                   mm_per_pix=self.config.mm_per_pix)
+        iterator = self.predict_images(images, exclude_nodes)
+        if progress:
+            iterator = _tqdm(iterator, total=len(images),
+                             desc="Predicted images")
+        for item, class_map in iterator:
+            reporter.add(item.image, class_map, item.fname, item.wood_type)
+        return reporter.finalize()
+
+    def predict_images(self, images: Sequence[ProcessedImage],
+                       exclude_nodes: bool = False):
+        """Yield (ProcessedImage, class_map[h, w] uint8) for each image, in
+        batched bucket order. Library API under the CLI surface."""
+        buckets: dict[int, list[int]] = {}
+        for i, item in enumerate(images):
+            h = item.image.shape[0]
+            buckets.setdefault(
+                pad_to_multiple(h, self.config.height_bucket), []).append(i)
+
+        for pad_h in sorted(buckets):
+            idxs = buckets[pad_h]
+            bs = self.config.batch_size
+            for start in range(0, len(idxs), bs):
+                chunk = idxs[start:start + bs]
+                for i, cmap in zip(chunk, self._run_batch(
+                        [images[i] for i in chunk], pad_h, exclude_nodes)):
+                    yield images[i], cmap
+
+    # ------------------------------------------------------------ internal
+
+    def _run_batch(self, items: list[ProcessedImage], pad_h: int,
+                   exclude_nodes: bool):
+        """Pad a bucket chunk to static shapes, run the device step, crop."""
+        n = len(items)
+        # round the batch up to a multiple of the data-axis size so the
+        # batch dim shards evenly; surplus rows are dummies dropped below.
+        n_pad = pad_to_multiple(n, self.rules.data_size)
+        w = items[0].image.shape[1]
+        batch = np.zeros((n_pad, pad_h, w, 3), np.uint8)
+        valid_h = np.ones((n_pad,), np.int32)
+        row_ops = np.zeros((n_pad, pad_h, pad_h // 8), np.float32)
+        for i, item in enumerate(items):
+            h = item.image.shape[0]
+            batch[i, :h] = item.image
+            valid_h[i] = h
+            feat_h = self.model.backbone.valid_feature_height(h)
+            row_ops[i] = embedded_bicubic_rows(feat_h, h, pad_h // 8, pad_h)
+        for i in range(n, n_pad):  # dummies reuse image 0's operator shape
+            valid_h[i] = items[0].image.shape[0]
+            row_ops[i] = row_ops[0]
+
+        out = self._device_step(pad_h, n_pad, exclude_nodes)(
+            self.variables,
+            jax.device_put(batch, self.rules.image_batch),
+            jax.device_put(valid_h, self.rules.batch),
+            jax.device_put(row_ops, self.rules.batch))
+        out = np.asarray(out)
+        for i, item in enumerate(items):
+            yield out[i, :item.image.shape[0]]
+
+    @functools.lru_cache(maxsize=32)
+    def _device_step(self, pad_h: int, batch: int, exclude_nodes: bool):
+        """Compile the fused predict step for one static (pad_h, batch)."""
+        mean, std = jnp.asarray(self.mean), jnp.asarray(self.std)
+        data_only = NamedSharding(self.rules.mesh, P(DATA_AXIS))
+
+        def step(variables, batch_u8, valid_h, row_ops):
+            x = batch_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            logits = self.model.apply(variables, x, train=False,
+                                      valid_h=valid_h, row_upsample=row_ops)
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # the CCL stage gathers across the whole image; keep it
+            # data-parallel only (no spatial sharding).
+            preds = jax.lax.with_sharding_constraint(preds, data_only)
+            preds = remove_small_zones_ragged(preds, valid_h)
+            if exclude_nodes:  # node class 2 -> 1 (models.py:273-276)
+                preds = jnp.where(preds == 2, 1, preds)
+            return preds.astype(jnp.uint8)
+
+        return jax.jit(step, out_shardings=data_only)
+
+    def __hash__(self):  # lru_cache on methods hashes self
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+def _load_variables(path: str, model_name: str) -> dict:
+    """Load {params, batch_stats} from .pt / .msgpack / orbax dir."""
+    head = "deeplab" if model_name.startswith("deeplab") else "fcn"
+    if path.endswith(".pt") or path.endswith(".pth"):
+        from ..models.convert import load_torch_checkpoint
+        return load_torch_checkpoint(path, head=head)
+    if os.path.isdir(path):
+        from ..train.checkpoint import restore_variables
+        return restore_variables(path)
+    import flax.serialization
+
+    from ..models.segmentation import MODEL_FACTORIES as _F
+    model = _F[model_name]()
+    # param shapes are input-size independent; init tiny for the template
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 64, 64, 3), jnp.float32),
+                          train=False)
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+__all__ = ["NeuralBarkCalculator", "NUM_CLASSES"]

@@ -1,0 +1,143 @@
+"""Batched TPU preprocessing: decode -> resize -> trim -> PNG.
+
+Reference semantics (models.py:157-203), rebuilt as a device pipeline:
+
+- decode BMPs on host threads (uint8 — 4x less host->device traffic than
+  float), batched by input shape;
+- on device, one jitted program per input shape: uint8 -> float/255 ->
+  MXU-matmul cubic-spline resize to 1024x1024 (ops/resize.py, exact skimage
+  parity) -> dark-band row bounds (ops/trim.py) -> uint8 quantization
+  (rint(clip(x)*255), exactly skimage imsave's img_as_ubyte conversion at
+  models.py:203);
+- host crops rows [first:last] (the only ragged step) and encodes PNGs on a
+  thread pool, overlapping the next device batch.
+
+Decision parity (models.py:191-201): resize only when max(H, W) >
+target_size; trim only when the (possibly resized) image is square.
+The reference processes one image at a time on host CPU — this pipeline is
+the first of the two hot loops the TPU rebuild batches (SURVEY.md §3.1).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PREPROCESS_TARGET_SIZE
+from ..data.dataset import load_image_u8, make_dataset, save_image_u8
+from ..ops.resize import spline_resize
+from ..ops.trim import trim_bounds_batch
+
+
+@dataclasses.dataclass
+class ProcessedImage:
+    """One preprocessed (resized + trimmed) image, ready for prediction."""
+
+    image: np.ndarray  # uint8 [h, w, 3]
+    fname: str  # output name (bmp -> png)
+    wood_type: str
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _preprocess_batch(batch_u8: jnp.ndarray, target: int, do_resize: bool):
+    """[B, H, W, 3] uint8 -> (uint8 [B, target, target, 3], first[B],
+    last[B]) on device."""
+    img = batch_u8.astype(jnp.float32) / 255.0
+    if do_resize:
+        img = jax.vmap(lambda x: spline_resize(x, target, target))(img)
+    first, last = trim_bounds_batch(img)
+    out_u8 = jnp.rint(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return out_u8, first, last
+
+
+class Preprocessor:
+    """Reference Preprocessor parity (models.py:169-203), folder-batched."""
+
+    def __init__(self, target_size: int = PREPROCESS_TARGET_SIZE,
+                 batch_size: int = 4, io_workers: int = 8):
+        self.target_size = target_size
+        self.batch_size = batch_size
+        self.io_workers = io_workers
+
+    def preprocess_images(self, root_path: str,
+                          save: bool = True,
+                          progress: bool = True) -> list[ProcessedImage]:
+        """Process root/samples/** into root/processed/samples/**.
+
+        Returns the processed images in manifest order so the full pipeline
+        can feed prediction without re-reading the PNGs it just wrote.
+        """
+        records = make_dataset(root_path)
+        output_dir = os.path.join(root_path, "processed")
+        results: list[ProcessedImage | None] = [None] * len(records)
+
+        with ThreadPoolExecutor(max_workers=self.io_workers) as pool:
+            decoded = pool.map(
+                lambda r: load_image_u8(r.sample_path), records)
+            iterator = zip(enumerate(records), decoded)
+            if progress:
+                iterator = _tqdm(iterator, total=len(records),
+                                 desc="Preprocessing images")
+
+            save_futures = []
+            for group in _shape_batches(iterator, self.batch_size):
+                keyed, imgs = zip(*group)
+                for (idx, rec), processed in zip(
+                        keyed, self._process_shape_batch(imgs)):
+                    item = ProcessedImage(processed, rec.fname,
+                                          rec.wood_type)
+                    results[idx] = item
+                    if save:
+                        path = os.path.join(output_dir, "samples",
+                                            rec.wood_type, rec.fname)
+                        save_futures.append(
+                            pool.submit(save_image_u8, path, processed))
+            for fut in save_futures:
+                fut.result()
+        return results  # type: ignore[return-value]
+
+    def _process_shape_batch(self,
+                             imgs: tuple[np.ndarray, ...]) -> Iterator[
+                                 np.ndarray]:
+        """Device-process same-shape images; yields trimmed uint8 arrays."""
+        h, w = imgs[0].shape[:2]
+        do_resize = max(h, w) > self.target_size
+        square_after = do_resize or h == w
+        batch = jnp.asarray(np.stack(imgs))
+        out, first, last = _preprocess_batch(batch, self.target_size,
+                                             do_resize)
+        out = np.asarray(out)
+        first = np.asarray(first)
+        last = np.asarray(last)
+        for i in range(out.shape[0]):
+            if square_after:
+                yield out[i, int(first[i]):int(last[i])]
+            else:
+                yield out[i]
+
+
+def _shape_batches(iterator, batch_size: int):
+    """Group an ((index, record), image) stream into same-shape batches of
+    at most batch_size, preserving order within each shape."""
+    pending: dict[tuple, list] = {}
+    for keyed, img in iterator:
+        key = img.shape
+        pending.setdefault(key, []).append((keyed, img))
+        if len(pending[key]) == batch_size:
+            yield pending.pop(key)
+    for group in pending.values():
+        yield group
+
+
+def _tqdm(iterable, **kwargs):
+    try:
+        from tqdm import tqdm
+        return tqdm(iterable, ascii=True, **kwargs)
+    except ImportError:  # pragma: no cover
+        return iterable

@@ -1,0 +1,150 @@
+"""Host-side artifact rendering: combined figures, dual PNGs, stats CSV.
+
+Reproduces the reference's output artifacts byte-layout-compatibly
+(reference models.py:263-364):
+
+- ``results/combined_images/<wood_type>/<fname>``: matplotlib side-by-side
+  Input / Generated figure with a class legend and an estimated-composition
+  suptitle (models.py:280-347). The reference hardcodes dpi=900, which
+  dominates its wall-time; ours is configurable (PredictConfig.figure_dpi).
+- ``results/outputs/<wood_type>/<fname>``: L-mode PNG, bark=127, node=255
+  (models.py:349-356).
+- ``results/final_stats.csv``: tab-delimited; the header has 7 columns but
+  data rows carry 6 — the reference rebuilds ``running_csv_stats`` without
+  the Image Size column (models.py:321 vs 252-255) and we reproduce that
+  quirk exactly.
+
+Figure rendering is pure host work, so PredictReporter runs it on a thread
+pool that overlaps with device compute (matplotlib's Agg canvas releases
+the GIL during rasterization).
+"""
+from __future__ import annotations
+
+import csv
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import matplotlib
+import numpy as np
+
+matplotlib.use("Agg", force=False)
+
+import matplotlib.patches as mpatches  # noqa: E402
+import matplotlib.pyplot as plt  # noqa: E402
+
+from ..config import CLASS_NAMES, DEFAULT_MM_PER_PIXEL  # noqa: E402
+from ..data.dataset import save_image_u8  # noqa: E402
+
+CSV_HEADER = [
+    "Name", "Type", "Image Size", "Output Bark %", "Bark area (mm^2)",
+    "Output Node %", "Node area (mm^2)",
+]
+
+
+def class_stats_row(fname: str, wood_type: str, counts: np.ndarray,
+                    total_pixels: int,
+                    mm_per_pix: float = DEFAULT_MM_PER_PIXEL
+                    ) -> tuple[list[str], list[float]]:
+    """CSV row + percentage list for one image.
+
+    counts: [2] pixel counts for classes (bark, node) over the trimmed
+    image; total_pixels = trimmed H*W. Formatting parity with
+    models.py:323-332 ('%.5f', area = count * mm_per_pix).
+    """
+    row = [fname, wood_type]
+    percents = []
+    for class_idx in (0, 1):
+        percent = float(counts[class_idx]) / float(total_pixels) * 100.0
+        area = float(counts[class_idx]) * mm_per_pix
+        percents.append(percent)
+        row.append("{:.5f}".format(percent))
+        row.append("{:.5f}".format(area))
+    return row, percents
+
+
+def render_combined(input_img: np.ndarray, class_map: np.ndarray,
+                    out_path: str, class_percents: list[float],
+                    dpi: int = 200) -> None:
+    """The side-by-side Input / Generated figure (models.py:280-347)."""
+    names = ["Input", "Generated image"]
+    imgs = [input_img, class_map]
+    fig, axs = plt.subplots(1, 2)
+    patches = []
+    for i, ax in enumerate(axs.flatten()):
+        img = imgs[i]
+        plotted = ax.imshow(img, vmax=2)
+        ax.set_title(names[i])
+        ax.axis("off")
+        if img.ndim == 2:  # predicted image: legend from present values
+            values = np.unique(img.ravel())
+            patches = [
+                mpatches.Patch(
+                    color=plotted.cmap(plotted.norm(value)),
+                    label="{} zone".format(CLASS_NAMES[value]))
+                for value in values
+            ]
+    fig.legend(handles=patches, title="Classes",
+               bbox_to_anchor=(0.4, -0.2, 0.5, 0.5))
+    suptitle = "Estimated composition percentages\n"
+    for class_name, class_percent in zip(CLASS_NAMES[1:], class_percents):
+        suptitle += "{} : {:.3f}\n".format(class_name, class_percent)
+    plt.suptitle(suptitle)
+    plt.tight_layout()
+    plt.savefig(out_path, format="png", dpi=dpi)
+    plt.close(fig)
+
+
+def save_dual(class_map: np.ndarray, out_path: str) -> None:
+    """Raw mask PNG: bark=127, node=255 (models.py:349-356)."""
+    dual = np.zeros(class_map.shape, dtype=np.uint8)
+    dual[class_map == 1] = 127
+    dual[class_map == 2] = 255
+    save_image_u8(out_path, dual)
+
+
+def write_final_stats(rows: list[list[str]], out_path: str) -> None:
+    """Tab-delimited final_stats.csv (models.py:360-364)."""
+    with open(out_path, "w") as f:
+        writer = csv.writer(f, delimiter="\t")
+        writer.writerow(CSV_HEADER)
+        writer.writerows(rows)
+
+
+class PredictReporter:
+    """Collects per-image results and writes all three artifact kinds,
+    offloading figure/PNG encoding to a thread pool."""
+
+    def __init__(self, results_dir: str, dpi: int = 200,
+                 mm_per_pix: float = DEFAULT_MM_PER_PIXEL,
+                 workers: int = 8):
+        self.results_dir = results_dir
+        self.dpi = dpi
+        self.mm_per_pix = mm_per_pix
+        self._rows: list[tuple[int, list[str]]] = []
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self._futures = []
+        self._order = 0
+
+    def add(self, input_img: np.ndarray, class_map: np.ndarray,
+            fname: str, wood_type: str) -> None:
+        counts = np.array([
+            int(np.sum(class_map == 1)), int(np.sum(class_map == 2))])
+        row, percents = class_stats_row(
+            fname, wood_type, counts, class_map.size, self.mm_per_pix)
+        self._rows.append((self._order, row))
+        self._order += 1
+        combined = os.path.join(self.results_dir, "combined_images",
+                                wood_type, fname)
+        dual = os.path.join(self.results_dir, "outputs", wood_type, fname)
+        self._futures.append(self._pool.submit(
+            render_combined, input_img, class_map, combined, percents,
+            self.dpi))
+        self._futures.append(self._pool.submit(save_dual, class_map, dual))
+
+    def finalize(self) -> str:
+        for fut in self._futures:
+            fut.result()  # surface any worker exception
+        self._pool.shutdown()
+        out = os.path.join(self.results_dir, "final_stats.csv")
+        write_final_stats([r for _, r in sorted(self._rows)], out)
+        return out

@@ -1,0 +1,161 @@
+"""End-to-end pipeline tests: folders, preprocess, batched predict, report.
+
+Runs the real surfaces on the virtual CPU mesh with small synthetic wood
+images. The predict parity test is the important one: the batched, bucketed,
+mesh-sharded engine must reproduce, pixel-exactly, what per-image unpadded
+execution (= reference semantics, models.py:263-276) produces.
+"""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _wood_image(h, w, dark_top=0, dark_bottom=0, seed=0):
+    """Synthetic log: texture with dark bands (below trim threshold)."""
+    rng = np.random.default_rng(seed)
+    img = (rng.random((h, w, 3)) * 120 + 90).astype(np.uint8)
+    if dark_top:
+        img[:dark_top] = 0
+    if dark_bottom:
+        img[-dark_bottom:] = 0
+    return img
+
+
+@pytest.fixture()
+def root(tmp_path):
+    root = tmp_path / "rootdir"
+    for wood_type, specs in {
+        "sapin": [("a.bmp", 192, 192, 32, 32), ("b.bmp", 256, 160, 0, 0)],
+        "epinette_gelee": [("c.bmp", 192, 192, 16, 48)],
+    }.items():
+        d = root / "samples" / wood_type
+        d.mkdir(parents=True)
+        for i, (name, h, w, dt, db) in enumerate(specs):
+            Image.fromarray(_wood_image(h, w, dt, db, seed=i)).save(d / name)
+    return str(root)
+
+
+def test_generate_folders(root):
+    from neuralbarkcalculator_tpu.pipeline.folders import generate_folders
+
+    types = generate_folders(root, only_preprocess=False)
+    assert types == ["epinette_gelee", "sapin"]
+    assert os.path.isdir(os.path.join(root, "processed", "samples", "sapin"))
+    assert os.path.isdir(
+        os.path.join(root, "results", "combined_images", "epinette_gelee"))
+    assert not os.path.isdir(
+        os.path.join(root, "results", "outputs", "epinette_non_gelee"))
+
+
+def test_preprocess(root):
+    from neuralbarkcalculator_tpu.pipeline.folders import generate_folders
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+
+    generate_folders(root, only_preprocess=True)
+    images = Preprocessor().preprocess_images(root, progress=False)
+    by_name = {im.fname: im for im in images}
+    # a.bmp: square -> trimmed to the lit 128 rows
+    assert by_name["a.png"].image.shape == (128, 192, 3)
+    # b.bmp: non-square, <= target: untouched
+    assert by_name["b.png"].image.shape == (256, 160, 3)
+    # c.bmp: square -> trimmed 192-16-48 = 128
+    assert by_name["c.png"].image.shape == (128, 192, 3)
+    # PNGs written and identical to returned arrays
+    p = os.path.join(root, "processed", "samples", "sapin", "a.png")
+    on_disk = np.asarray(Image.open(p))
+    np.testing.assert_array_equal(on_disk, by_name["a.png"].image)
+    # manifest order preserved (epinette before sapin)
+    assert [im.fname for im in images] == ["c.png", "a.png", "b.png"]
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    """Random-weights flax msgpack checkpoint (predict loads all formats)."""
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.models.segmentation import fcn_resnet50
+
+    model = fcn_resnet50(dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    path = tmp_path_factory.mktemp("ckpt") / "model.msgpack"
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+    return str(path), model, variables
+
+
+def test_predict_end_to_end(root, checkpoint):
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.ops.ccl import remove_small_zones
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.folders import generate_folders
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+
+    ckpt_path, model, variables = checkpoint
+    generate_folders(root, only_preprocess=False)
+    images = Preprocessor().preprocess_images(root, progress=False)
+
+    config = PredictConfig(model_path=ckpt_path, batch_size=2,
+                           use_bfloat16=False, figure_dpi=50)
+    calc = NeuralBarkCalculator(ckpt_path, mesh=make_mesh(n_data=2),
+                                config=config)
+    csv_path = calc.predict(root, images=images, progress=False)
+
+    # ---- artifacts
+    assert os.path.isfile(csv_path)
+    rows = [line.split("\t") for line in
+            open(csv_path).read().strip().split("\n")]
+    assert rows[0] == ["Name", "Type", "Image Size", "Output Bark %",
+                       "Bark area (mm^2)", "Output Node %",
+                       "Node area (mm^2)"]
+    assert len(rows) == 4 and all(len(r) == 6 for r in rows[1:])
+    for wood_type, fname in [("epinette_gelee", "c.png"), ("sapin", "a.png"),
+                             ("sapin", "b.png")]:
+        assert os.path.isfile(os.path.join(
+            root, "results", "combined_images", wood_type, fname))
+        assert os.path.isfile(os.path.join(
+            root, "results", "outputs", wood_type, fname))
+
+    # ---- pixel parity: batched+bucketed+padded engine == per-image run
+    mean = np.asarray(config.mean, np.float32)
+    std = np.asarray(config.std, np.float32)
+    for item, got in calc.predict_images(images):
+        x = (item.image.astype(np.float32) / 255.0 - mean) / std
+        logits = model.apply(variables, jnp.asarray(x[None]), train=False)
+        want = np.asarray(remove_small_zones(
+            jnp.argmax(logits, axis=-1)[0]))
+        np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+    # ---- dual PNG encodes {0,127,255} of the same map
+    dual = np.asarray(Image.open(os.path.join(
+        root, "results", "outputs", "sapin", "b.png")))
+    assert set(np.unique(dual)).issubset({0, 127, 255})
+
+    # ---- CSV percentages recompute from the dual mask
+    name_to_row = {r[0]: r for r in rows[1:]}
+    bark_pct = float(name_to_row["b.png"][2])
+    assert abs(bark_pct - 100.0 * np.mean(dual == 127)) < 1e-3
+
+
+def test_exclude_nodes(root, checkpoint):
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+    from neuralbarkcalculator_tpu.pipeline.folders import generate_folders
+
+    ckpt_path, _, _ = checkpoint
+    generate_folders(root, only_preprocess=True)
+    images = Preprocessor().preprocess_images(root, save=False,
+                                              progress=False)
+    config = PredictConfig(model_path=ckpt_path, batch_size=2,
+                           use_bfloat16=False)
+    calc = NeuralBarkCalculator(ckpt_path, mesh=make_mesh(n_data=2),
+                                config=config)
+    for _, cmap in calc.predict_images(images[:1], exclude_nodes=True):
+        assert not np.any(cmap == 2)

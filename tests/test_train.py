@@ -1,0 +1,171 @@
+"""Training harness tests on a tiny synthetic dataset (CPU mesh).
+
+Covers: Experiment construction (stats, splits, device-resident data),
+the fused gather+augment+train step (loss decreases / stays finite,
+params update), checkpointing + best export -> predict engine loading,
+plateau/early-stop controllers, torch-Adam parity, and the evaluation
+report artifacts.
+"""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    """10 images per wood type, 64x64, with duals (0/127/255)."""
+    root = tmp_path_factory.mktemp("trainroot")
+    rng = np.random.default_rng(3)
+    for wood_type in ("epinette_gelee", "epinette_non_gelee", "sapin"):
+        sdir = root / "samples" / wood_type
+        ddir = root / "duals" / wood_type
+        sdir.mkdir(parents=True)
+        ddir.mkdir(parents=True)
+        for i in range(10):
+            img = (rng.random((64, 64, 3)) * 200 + 30).astype(np.uint8)
+            Image.fromarray(img).save(sdir / f"img{i}.bmp")
+            dual = rng.choice([0, 127, 255], size=(64, 64),
+                              p=[0.6, 0.35, 0.05]).astype(np.uint8)
+            Image.fromarray(dual, mode="L").save(ddir / f"img{i}.png")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def experiment(data_root, tmp_path_factory):
+    from neuralbarkcalculator_tpu.config import TrainConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.train.loop import Experiment
+
+    config = TrainConfig(seed=42, crop_size=32, batch_size=4, epochs=2,
+                         samples_per_epoch_factor=1, pad_resize_size=64,
+                         dropout=0.1)
+    ckpt_dir = str(tmp_path_factory.mktemp("ckpts"))
+    return Experiment(data_root, ckpt_dir, config=config,
+                      mesh=make_mesh(n_data=2))
+
+
+def test_splits_and_stats(experiment):
+    # 10 per type: ceil(8) train / floor(1) valid / 1 test, stratified
+    assert len(experiment.train_split) == 24
+    assert len(experiment.valid_split) == 3
+    assert len(experiment.test_split) == 3
+    assert len(set(experiment.train_split) | set(experiment.valid_split)
+               | set(experiment.test_split)) == 30
+    assert np.isclose(experiment.train_weights.sum(), 1.0)
+    assert all(0 < m < 1 for m in experiment.mean)
+    assert experiment.pos_weight[0] < experiment.pos_weight[1] < \
+        experiment.pos_weight[2]  # inverse frequency ordering
+
+
+def test_train_runs_and_checkpoints(experiment):
+    import jax
+
+    p0 = jax.tree.map(np.asarray, experiment.state.params)
+    history = experiment.train(epochs=2)
+    assert len(history) == 2
+    for log in history:
+        assert np.isfinite(log.loss) and np.isfinite(log.val_miou)
+    p1 = jax.tree.map(np.asarray, experiment.state.params)
+    changed = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), p0, p1))
+    assert max(changed) > 0  # params actually moved
+
+    assert experiment.ckpts.best_epoch in (1, 2)
+    assert experiment.ckpts.last_epoch == 2
+
+    # reload an epoch checkpoint
+    experiment.load_checkpoint(1)
+    experiment.load_best()
+
+    metrics = experiment.test()
+    assert np.isfinite(metrics["loss"])
+
+
+def test_best_model_loads_in_predict_engine(experiment, tmp_path):
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+
+    path = experiment.ckpts.export_best_model(experiment.variables)
+    config = PredictConfig(model_path=path, batch_size=2,
+                           use_bfloat16=False, height_bucket=32)
+    calc = NeuralBarkCalculator(path, mesh=make_mesh(n_data=2),
+                                config=config)
+    img = ProcessedImage(
+        np.full((48, 64, 3), 128, np.uint8), "x.png", "sapin")
+    outs = list(calc.predict_images([img]))
+    assert outs[0][1].shape == (48, 64)
+
+
+def test_evaluation_report(experiment, tmp_path):
+    from neuralbarkcalculator_tpu.train.evaluate import evaluation_report
+
+    root_dir = str(tmp_path / "reportroot")
+    csv_file = evaluation_report(experiment, root_dir, dpi=40)
+    rows = [line.split("\t") for line in
+            open(csv_file).read().strip().split("\n")]
+    assert len(rows) == 31  # header + 30 images
+    assert len(rows[0]) == 15 and all(len(r) == 15 for r in rows[1:])
+    # artifacts exist in per-split folders
+    fname, wood_type, split = rows[1][0], rows[1][1], rows[1][2]
+    base = os.path.join(root_dir, "Images", "results", "moar")
+    assert os.path.isfile(os.path.join(base, "combined_images", wood_type,
+                                       split, fname))
+    assert os.path.isfile(os.path.join(base, "outputs", wood_type, split,
+                                       fname))
+
+
+def test_adam_torch_parity():
+    """Our optax chain must match torch.optim.Adam(lr, weight_decay)."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.train.optim import adam
+
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    g = np.array([0.1, 0.2, -0.3], np.float32)
+
+    p = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.Adam([p], lr=5e-4, weight_decay=2e-3)
+    for _ in range(3):
+        opt.zero_grad()
+        p.grad = torch.tensor(g)
+        opt.step()
+    want = p.detach().numpy()
+
+    tx = adam(5e-4, 2e-3)
+    params = jnp.asarray(w0)
+    state = tx.init(params)
+    for _ in range(3):
+        updates, state = tx.update(jnp.asarray(g), state, params)
+        params = params + updates
+    np.testing.assert_allclose(np.asarray(params), want, rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_plateau_and_early_stop():
+    from neuralbarkcalculator_tpu.train.optim import (EarlyStopping,
+                                                      ReduceLROnPlateau)
+
+    plateau = ReduceLROnPlateau(mode="max", factor=0.2, patience=3,
+                                threshold=1e-1, threshold_mode="abs")
+    lr = 5e-4
+    # improving: no reduction
+    for m in (0.5, 0.7, 0.9):
+        lr = plateau.step(m, lr)
+    assert lr == 5e-4
+    # stagnating: reduce after patience+1 bad epochs
+    for m in (0.91, 0.92, 0.93):
+        lr = plateau.step(m, lr)
+    assert lr == 5e-4
+    lr = plateau.step(0.94, lr)
+    assert np.isclose(lr, 1e-4)
+
+    early = EarlyStopping(mode="max", min_delta=1e-1, patience=3,
+                          verbose=False)
+    assert not early.step(0.5, 1)
+    assert not early.step(0.55, 2)  # < min_delta improvement
+    assert not early.step(0.56, 3)
+    assert early.step(0.57, 4)
