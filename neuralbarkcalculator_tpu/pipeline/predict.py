@@ -40,6 +40,7 @@ from ..ops.ccl import remove_small_zones_ragged
 from ..ops.resize import embedded_bicubic_rows
 from ..parallel.mesh import DATA_AXIS, ShardingRules, make_mesh, \
     pad_to_multiple
+from ..utils.profiling import stage_timer
 from .preprocess import ProcessedImage, _tqdm
 from .report import PredictReporter
 
@@ -66,7 +67,7 @@ class NeuralBarkCalculator:
 
     def predict(self, root_path: str, exclude_nodes: bool = False,
                 images: Sequence[ProcessedImage] | None = None,
-                progress: bool = True) -> str:
+                progress: bool = True, resume: bool = False) -> str:
         """Predict every image under root/processed, writing results/
         artifacts (combined figures, dual PNGs, final_stats.csv). Returns
         the csv path.
@@ -74,25 +75,49 @@ class NeuralBarkCalculator:
         ``images`` short-circuits re-reading the PNGs when the caller just
         preprocessed them in the same process (full-pipeline fast path; the
         PNGs on disk are identical by construction).
+
+        ``resume`` (new vs reference, SURVEY.md §5.3): images whose dual
+        PNG + combined figure already exist are not recomputed — their CSV
+        row is rebuilt from the dual mask on disk, so an interrupted folder
+        run finishes with a complete final_stats.csv.
         """
         processed_path = os.path.join(root_path, "processed")
         results_dir = os.path.join(root_path, "results")
         if images is None:
             records = make_dataset(processed_path)
             with ThreadPoolExecutor(max_workers=8) as pool:
-                arrays = list(pool.map(
-                    lambda r: load_image_u8(r.sample_path), records))
+                with stage_timer("predict/load_processed"):
+                    arrays = list(pool.map(
+                        lambda r: load_image_u8(r.sample_path), records))
             images = [ProcessedImage(a, r.fname, r.wood_type)
                       for a, r in zip(arrays, records)]
 
         reporter = PredictReporter(results_dir, dpi=self.config.figure_dpi,
                                    mm_per_pix=self.config.mm_per_pix)
-        iterator = self.predict_images(images, exclude_nodes)
+        done: dict[int, np.ndarray] = {}
+        if resume:
+            for i, item in enumerate(images):
+                dual_path = os.path.join(results_dir, "outputs",
+                                         item.wood_type, item.fname)
+                fig_path = os.path.join(results_dir, "combined_images",
+                                        item.wood_type, item.fname)
+                if os.path.isfile(dual_path) and os.path.isfile(fig_path):
+                    dual = load_image_u8(dual_path, grayscale=True)
+                    done[i] = ((dual == 127) * 1
+                               + (dual == 255) * 2).astype(np.uint8)
+        for i, cmap in done.items():
+            reporter.add_row_only(cmap, images[i].fname,
+                                  images[i].wood_type, order=i)
+
+        order_of = {id(im): i for i, im in enumerate(images)}
+        todo = [im for i, im in enumerate(images) if i not in done]
+        iterator = self.predict_images(todo, exclude_nodes)
         if progress:
-            iterator = _tqdm(iterator, total=len(images),
+            iterator = _tqdm(iterator, total=len(todo),
                              desc="Predicted images")
         for item, class_map in iterator:
-            reporter.add(item.image, class_map, item.fname, item.wood_type)
+            reporter.add(item.image, class_map, item.fname, item.wood_type,
+                         order=order_of[id(item)])
         return reporter.finalize()
 
     def predict_images(self, images: Sequence[ProcessedImage],
@@ -137,12 +162,13 @@ class NeuralBarkCalculator:
             valid_h[i] = items[0].image.shape[0]
             row_ops[i] = row_ops[0]
 
-        out = self._device_step(pad_h, n_pad, exclude_nodes)(
-            self.variables,
-            jax.device_put(batch, self.rules.image_batch),
-            jax.device_put(valid_h, self.rules.batch),
-            jax.device_put(row_ops, self.rules.batch))
-        out = np.asarray(out)
+        with stage_timer(f"predict/device_step_h{pad_h}"):
+            out = self._device_step(pad_h, n_pad, exclude_nodes)(
+                self.variables,
+                jax.device_put(batch, self.rules.image_batch),
+                jax.device_put(valid_h, self.rules.batch),
+                jax.device_put(row_ops, self.rules.batch))
+            out = np.asarray(out)
         for i, item in enumerate(items):
             yield out[i, :item.image.shape[0]]
 

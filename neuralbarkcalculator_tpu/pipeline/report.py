@@ -126,13 +126,11 @@ class PredictReporter:
         self._order = 0
 
     def add(self, input_img: np.ndarray, class_map: np.ndarray,
-            fname: str, wood_type: str) -> None:
-        counts = np.array([
-            int(np.sum(class_map == 1)), int(np.sum(class_map == 2))])
-        row, percents = class_stats_row(
-            fname, wood_type, counts, class_map.size, self.mm_per_pix)
-        self._rows.append((self._order, row))
-        self._order += 1
+            fname: str, wood_type: str, order: int | None = None) -> None:
+        """Render artifacts + record the CSV row. ``order`` fixes the row's
+        position in final_stats.csv (the reference writes rows in dataset
+        order, models.py:358; batched compute may finish out of order)."""
+        percents = self.add_row_only(class_map, fname, wood_type, order)
         combined = os.path.join(self.results_dir, "combined_images",
                                 wood_type, fname)
         dual = os.path.join(self.results_dir, "outputs", wood_type, fname)
@@ -140,6 +138,19 @@ class PredictReporter:
             render_combined, input_img, class_map, combined, percents,
             self.dpi))
         self._futures.append(self._pool.submit(save_dual, class_map, dual))
+
+    def add_row_only(self, class_map: np.ndarray, fname: str,
+                     wood_type: str,
+                     order: int | None = None) -> list[float]:
+        """CSV bookkeeping without artifact rendering (resume path: the
+        artifacts already exist on disk)."""
+        counts = np.array([
+            int(np.sum(class_map == 1)), int(np.sum(class_map == 2))])
+        row, percents = class_stats_row(
+            fname, wood_type, counts, class_map.size, self.mm_per_pix)
+        self._rows.append((self._order if order is None else order, row))
+        self._order += 1
+        return percents
 
     def finalize(self) -> str:
         for fut in self._futures:

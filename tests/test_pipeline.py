@@ -142,6 +142,44 @@ def test_predict_end_to_end(root, checkpoint):
     assert abs(bark_pct - 100.0 * np.mean(dual == 127)) < 1e-3
 
 
+def test_predict_resume(root, checkpoint, tmp_path):
+    """Interrupted-run resume: existing artifacts are not recomputed, CSV
+    is complete and in dataset order (SURVEY.md §5.3)."""
+    import csv as csvmod
+
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.folders import generate_folders
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+
+    ckpt_path, _, _ = checkpoint
+    generate_folders(root, only_preprocess=False)
+    images = Preprocessor().preprocess_images(root, progress=False)
+    config = PredictConfig(model_path=ckpt_path, batch_size=2,
+                           use_bfloat16=False, figure_dpi=40)
+    calc = NeuralBarkCalculator(ckpt_path, mesh=make_mesh(n_data=2),
+                                config=config)
+
+    # full run, snapshot csv + one dual artifact's mtime
+    csv_path = calc.predict(root, images=images, progress=False)
+    full_rows = list(csvmod.reader(open(csv_path), delimiter="\t"))
+    dual_path = os.path.join(root, "results", "outputs", "sapin", "a.png")
+    mtime = os.path.getmtime(dual_path)
+
+    # delete one artifact pair; resume run recomputes only that image
+    os.remove(os.path.join(root, "results", "outputs", "sapin", "b.png"))
+    csv_path = calc.predict(root, images=images, progress=False,
+                            resume=True)
+    resumed_rows = list(csvmod.reader(open(csv_path), delimiter="\t"))
+    assert resumed_rows == full_rows
+    assert os.path.getmtime(dual_path) == mtime  # untouched artifact
+    assert os.path.isfile(
+        os.path.join(root, "results", "outputs", "sapin", "b.png"))
+    # CSV rows follow dataset (manifest) order
+    assert [r[0] for r in resumed_rows[1:]] == ["c.png", "a.png", "b.png"]
+
+
 def test_exclude_nodes(root, checkpoint):
     from neuralbarkcalculator_tpu.config import PredictConfig
     from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
