@@ -8,12 +8,20 @@ Replaces the reference's skimage morphology calls (utils.py:135-148):
     img[(np_image == 0) & (img == 0)] = 1   # dropped class-0 islands -> bark
     img[(np_image != 0) & (img != 0)] = 0   # filled holes -> class 0
 
-skimage's union-find is inherently sequential; here we use the classic
-parallel formulation — iterative 8-neighbor min-label *hooking* plus
-*pointer jumping* (label <- label[label]) — which converges in
-O(log diameter) sweeps over a static-shape [H, W] grid. Every step is a
-shifted elementwise min (VPU) or a flat gather, all jit-compatible, so the
-whole postprocess stays on device and vmaps over the batch.
+skimage's union-find is inherently sequential; here labeling runs as
+iterative *segmented min-scans*: per sweep, each row run and column run of
+foreground pixels is reduced to its minimum label with
+``lax.associative_scan`` (log2(N) shifted selects, pure VPU — no gathers,
+which are the slow path on TPU), plus one 8-neighbor min to hop across
+diagonals. Convergence needs one sweep per "turn" of the most serpentine
+component (blobby segmentation masks converge in a handful); a while_loop
+checks convergence each sweep. Everything is jit-compatible with static
+shapes and vmaps over the batch. (An earlier pointer-jumping formulation
+converged in fewer sweeps but each sweep needed two full-image gathers —
+~100x slower end-to-end on real TPU masks. The sequential-exact
+union-find also exists native-side: io/native.remove_small_zones_host,
+which the predict pipeline uses host-side after pulling class maps for
+artifact rendering.)
 
 Semantics parity notes (all verified against scipy.ndimage golden tests):
 - connectivity=2 == 8-connectivity.
@@ -32,7 +40,7 @@ import jax.numpy as jnp
 
 from ..config import SMALL_ZONE_THRESHOLD
 
-_MAX_SWEEPS = 64  # safety bound; convergence is checked every sweep
+_MAX_SWEEPS = 1024  # safety bound; convergence is checked every sweep
 
 
 def _min_neighbor_labels(lab: jnp.ndarray, sentinel: int) -> jnp.ndarray:
@@ -46,6 +54,37 @@ def _min_neighbor_labels(lab: jnp.ndarray, sentinel: int) -> jnp.ndarray:
             shifted = jax.lax.dynamic_slice(p, (1 + dr, 1 + dc), lab.shape)
             best = jnp.minimum(best, shifted)
     return best
+
+
+def _seg_min_scan(lab: jnp.ndarray, fg: jnp.ndarray, axis: int,
+                  sentinel: int) -> jnp.ndarray:
+    """Min label over each contiguous foreground run along ``axis``.
+
+    Two segmented scans (forward + reverse) with the standard associative
+    segmented-reduce operator on (value, segment-start-flag) pairs.
+    """
+    fg_shift = jnp.roll(fg, 1, axis=axis)
+    idx0 = [slice(None)] * lab.ndim
+    idx0[axis] = slice(0, 1)
+    fg_shift = fg_shift.at[tuple(idx0)].set(False)
+    start = jnp.logical_or(~fg, ~fg_shift)  # bg cells isolate themselves
+
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, jnp.minimum(va, vb)), jnp.logical_or(fa,
+                                                                      fb)
+
+    fwd, _ = jax.lax.associative_scan(combine, (lab, start), axis=axis)
+
+    fg_shift_r = jnp.roll(fg, -1, axis=axis)
+    idxl = [slice(None)] * lab.ndim
+    idxl[axis] = slice(-1, None)
+    fg_shift_r = fg_shift_r.at[tuple(idxl)].set(False)
+    start_r = jnp.logical_or(~fg, ~fg_shift_r)
+    rev, _ = jax.lax.associative_scan(combine, (lab, start_r), axis=axis,
+                                      reverse=True)
+    return jnp.where(fg, jnp.minimum(fwd, rev), sentinel)
 
 
 @jax.jit
@@ -63,17 +102,13 @@ def label_components(fg: jnp.ndarray) -> jnp.ndarray:
         jnp.int32(sentinel),
     )
 
-    def jump(lab):
-        flat = jnp.concatenate(
-            [lab.reshape(-1), jnp.array([sentinel], jnp.int32)])
-        return flat[lab]
-
     def body(state):
         lab, _, it = state
-        hooked = jnp.where(fg, _min_neighbor_labels(lab, sentinel), lab)
-        jumped = jump(jump(hooked))
-        changed = jnp.any(jumped != lab)
-        return jumped, changed, it + 1
+        new = _seg_min_scan(lab, fg, 1, sentinel)  # row runs
+        new = _seg_min_scan(new, fg, 0, sentinel)  # column runs
+        new = jnp.where(fg, _min_neighbor_labels(new, sentinel), sentinel)
+        changed = jnp.any(new != lab)
+        return new, changed, it + 1
 
     def cond(state):
         _, changed, it = state

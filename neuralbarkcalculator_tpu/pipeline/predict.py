@@ -34,7 +34,9 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import NUM_CLASSES, PredictConfig
-from ..data.dataset import load_image_u8, make_dataset
+from ..data.dataset import make_dataset
+from ..io.native import (load_image_u8_fast as load_image_u8,
+                         remove_small_zones_host)
 from ..models.segmentation import MODEL_FACTORIES
 from ..ops.ccl import remove_small_zones_ragged
 from ..ops.resize import embedded_bicubic_rows
@@ -163,18 +165,40 @@ class NeuralBarkCalculator:
             row_ops[i] = row_ops[0]
 
         with stage_timer(f"predict/device_step_h{pad_h}"):
-            out = self._device_step(pad_h, n_pad, exclude_nodes)(
+            out = self._device_step(pad_h, n_pad)(
                 self.variables,
                 jax.device_put(batch, self.rules.image_batch),
                 jax.device_put(valid_h, self.rules.batch),
                 jax.device_put(row_ops, self.rules.batch))
             out = np.asarray(out)
+        with stage_timer(f"predict/postprocess_h{pad_h}"):
+            out = self._postprocess(out, valid_h, exclude_nodes)
         for i, item in enumerate(items):
             yield out[i, :item.image.shape[0]]
 
+    def _postprocess(self, preds_u8: np.ndarray, valid_h: np.ndarray,
+                     exclude_nodes: bool) -> np.ndarray:
+        """remove_small_zones + exclude_nodes remap (models.py:270-276).
+
+        Runs in the native C++ union-find (io/native.py) — exact skimage
+        semantics, ~5 ms per 1024^2 image vs seconds for iterative label
+        propagation on device — falling back to the device op when the
+        library isn't built. The class maps are already host-side for
+        artifact rendering, so this costs no extra transfer.
+        """
+        cleaned = remove_small_zones_host(preds_u8, valid_h)
+        if cleaned is None:  # no native lib: device CCL fallback
+            cleaned = np.asarray(remove_small_zones_ragged(
+                jnp.asarray(preds_u8.astype(np.int32)),
+                jnp.asarray(valid_h))).astype(np.uint8)
+        if exclude_nodes:  # node class 2 -> 1 (models.py:273-276)
+            cleaned = np.where(cleaned == 2, 1, cleaned).astype(np.uint8)
+        return cleaned
+
     @functools.lru_cache(maxsize=32)
-    def _device_step(self, pad_h: int, batch: int, exclude_nodes: bool):
-        """Compile the fused predict step for one static (pad_h, batch)."""
+    def _device_step(self, pad_h: int, batch: int):
+        """Compile the normalize+forward+argmax step for one static
+        (pad_h, batch) shape."""
         mean, std = jnp.asarray(self.mean), jnp.asarray(self.std)
         data_only = NamedSharding(self.rules.mesh, P(DATA_AXIS))
 
@@ -183,13 +207,7 @@ class NeuralBarkCalculator:
             x = (x - mean) / std
             logits = self.model.apply(variables, x, train=False,
                                       valid_h=valid_h, row_upsample=row_ops)
-            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            # the CCL stage gathers across the whole image; keep it
-            # data-parallel only (no spatial sharding).
-            preds = jax.lax.with_sharding_constraint(preds, data_only)
-            preds = remove_small_zones_ragged(preds, valid_h)
-            if exclude_nodes:  # node class 2 -> 1 (models.py:273-276)
-                preds = jnp.where(preds == 2, 1, preds)
+            preds = jnp.argmax(logits, axis=-1)
             return preds.astype(jnp.uint8)
 
         return jax.jit(step, out_shardings=data_only)

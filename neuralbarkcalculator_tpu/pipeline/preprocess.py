@@ -30,7 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PREPROCESS_TARGET_SIZE
-from ..data.dataset import load_image_u8, make_dataset, save_image_u8
+from ..data.dataset import make_dataset
+from ..io.native import (load_image_u8_fast as load_image_u8,
+                         save_image_u8_fast as save_image_u8)
 from ..ops.resize import spline_resize
 from ..ops.trim import trim_bounds_batch
 

@@ -66,8 +66,11 @@ def _eval_image_metrics(logits, target):
 def render_eval_image(input_img, target, preds, fname, wood_type, split,
                       ious, f1s, results_dir, dpi: int = 200) -> list[str]:
     """One image's figure + dual PNG; returns its CSV row."""
+    from ..pipeline.report import display_subsample
+
     names = ["Input", "Target", "Generated image"]
-    imgs = [input_img, target, preds]
+    values = np.unique(preds.ravel())
+    imgs = [display_subsample(x, dpi) for x in (input_img, target, preds)]
     fig, axs = plt.subplots(1, 3)
     patches = []
     for i, ax in enumerate(axs.flatten()):
@@ -76,7 +79,6 @@ def render_eval_image(input_img, target, preds, fname, wood_type, split,
         ax.set_title(names[i])
         ax.axis("off")
         if img.ndim == 2:
-            values = np.unique(img.ravel())
             patches = [
                 mpatches.Patch(color=plotted.cmap(plotted.norm(v)),
                                label="{} zone".format(CLASS_NAMES[v]))

@@ -84,7 +84,8 @@ class Experiment:
                  config: TrainConfig | None = None, mesh=None,
                  model_name: str = "fcn_resnet50",
                  loss_name: str = "lovasz",
-                 monitor: str | None = None):
+                 monitor: str | None = None,
+                 sampler: str = "weighted"):
         self.config = config or TrainConfig()
         self.rules = ShardingRules(mesh if mesh is not None else make_mesh())
         self.model_name = model_name
@@ -138,6 +139,9 @@ class Experiment:
             batch_stats=variables["batch_stats"], tx=tx)
         self.state = jax.device_put(self.state, self.rules.replicated)
 
+        if sampler not in ("weighted", "prioritized"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        self.sampler_kind = sampler
         self._train_step = make_train_step(
             self.rules, loss_name=loss_name, crop=self.config.crop_size,
             mean=self.mean, std=self.std,
@@ -162,21 +166,35 @@ class Experiment:
                               min_delta=cfg.early_stop_min_delta,
                               patience=cfg.early_stop_patience)
         key = jax.random.PRNGKey(cfg.seed)
+        prioritized = None
+        if self.sampler_kind == "prioritized":
+            from ..data.sampling import PrioritizedSampler
+            prioritized = PrioritizedSampler(
+                len(self.train_split), cfg.batch_size,
+                len(self.train_split) * cfg.samples_per_epoch_factor,
+                self._rng, metric_mode=cfg.monitor_mode)
 
         for epoch in range(1, epochs + 1):
             t0 = time.time()
             # keep per-batch metrics on device until epoch end (no sync
-            # inside the hot loop; steps pipeline back-to-back)
+            # inside the hot loop; steps pipeline back-to-back). The
+            # prioritized sampler needs the metric per batch (its weight
+            # update, utils.py:403-412) and therefore syncs every step.
             batch_metrics: list[dict] = []
             count = 0
-            for batch_pos in weighted_batch_iterator(
-                    self.train_weights, cfg.batch_size, self._rng,
-                    cfg.samples_per_epoch_factor):
+            batches = (prioritized if prioritized is not None else
+                       weighted_batch_iterator(
+                           self.train_weights, cfg.batch_size, self._rng,
+                           cfg.samples_per_epoch_factor))
+            for batch_pos in batches:
                 idx = self.train_split[batch_pos]
                 key, sub = jax.random.split(key)
                 self.state, metrics = self._train_step(
                     self.state, self.images, self.labels,
                     jnp.asarray(idx, jnp.int32), sub)
+                if prioritized is not None:
+                    prioritized.update(batch_pos,
+                                       float(metrics["miou"]) / 100.0)
                 batch_metrics.append(metrics)
                 count += len(idx)
             train_metrics = {
@@ -213,6 +231,9 @@ class Experiment:
                 set_learning_rate(self.state.opt_state, new_lr)
             if early.step(monitored, epoch):
                 break
+        if prioritized is not None:  # train-end stats (utils.py:414-456)
+            for k, v in prioritized.stats().items():
+                print(f"{k}: {v}")
         return self.history
 
     # -------------------------------------------------------------- eval

@@ -1,0 +1,113 @@
+"""Native C++ IO runtime (native/barkio.cc via ctypes) golden tests vs
+PIL: BMP decode, PNG decode/encode round trips, threaded batch decode.
+
+Skipped when the shared library can't be built (no g++) — the Python
+pipelines fall back to PIL automatically.
+"""
+import numpy as np
+import pytest
+from PIL import Image
+
+native = pytest.importorskip("neuralbarkcalculator_tpu.io.native")
+
+if native.get_lib() is None:  # pragma: no cover
+    pytest.skip("libbarkio.so unavailable", allow_module_level=True)
+
+
+@pytest.fixture()
+def rgb(rng):
+    return (rng.random((37, 53, 3)) * 255).astype(np.uint8)
+
+
+def test_bmp_decode_matches_pil(tmp_path, rgb):
+    path = str(tmp_path / "x.bmp")
+    Image.fromarray(rgb).save(path)
+    want = np.asarray(Image.open(path).convert("RGB"))
+    assert native.image_info(path) == (37, 53, 3)
+    got = native.load_image_u8_fast(path)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_png_decode_rgb_matches_pil(tmp_path, rgb):
+    path = str(tmp_path / "x.png")
+    Image.fromarray(rgb).save(path)
+    got = native.load_image_u8_fast(path)
+    np.testing.assert_array_equal(got, rgb)
+
+
+def test_png_decode_grayscale(tmp_path, rng):
+    gray = (rng.random((40, 25)) * 255).astype(np.uint8)
+    path = str(tmp_path / "g.png")
+    Image.fromarray(gray, mode="L").save(path)
+    got = native.load_image_u8_fast(path, grayscale=True)
+    np.testing.assert_array_equal(got, gray)
+
+
+def test_png_encode_roundtrip(tmp_path, rgb, rng):
+    path = str(tmp_path / "enc.png")
+    native.save_image_u8_fast(path, rgb)
+    np.testing.assert_array_equal(np.asarray(Image.open(path)), rgb)
+
+    dual = rng.choice([0, 127, 255], size=(64, 48)).astype(np.uint8)
+    path2 = str(tmp_path / "dual.png")
+    native.save_image_u8_fast(path2, dual)
+    decoded = Image.open(path2)
+    assert decoded.mode == "L"
+    np.testing.assert_array_equal(np.asarray(decoded), dual)
+
+
+def test_rgb_to_grayscale_matches_pil(tmp_path, rgb):
+    path = str(tmp_path / "x.png")
+    Image.fromarray(rgb).save(path)
+    want = np.asarray(Image.open(path).convert("L"))
+    got = native.load_image_u8_fast(path, grayscale=True)
+    # PIL uses fixed-point luma; allow off-by-one from float rounding
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_batch_decode(tmp_path, rng):
+    paths = []
+    want = []
+    for i in range(6):
+        img = (rng.random((32, 24, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"b{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+        want.append(img)
+    got = native.batch_decode(paths, (32, 24, 3), threads=3)
+    assert got is not None
+    np.testing.assert_array_equal(got, np.stack(want))
+
+
+def test_float_input_quantizes(tmp_path):
+    img = np.linspace(0, 1, 12, dtype=np.float32).reshape(3, 4)
+    path = str(tmp_path / "f.png")
+    native.save_image_u8_fast(path, img)
+    want = np.rint(img * 255).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(Image.open(path)), want)
+
+
+def test_native_ccl_matches_device_op(rng):
+    """The C++ union-find postprocess must agree exactly with the golden
+    device op (itself validated against scipy in test_ccl.py)."""
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.ops.ccl import (remove_small_zones,
+                                                  remove_small_zones_ragged)
+
+    # speckle + blobs to exercise both thresholds
+    img = (rng.random((3, 96, 128)) * 3).astype(np.uint8)
+    img[0, 20:60, 20:80] = 1
+    img[1, :, :] = 0
+    img[1, 10:15, 10:15] = 2
+    want = np.asarray(remove_small_zones(
+        jnp.asarray(img.astype(np.int32)))).astype(np.uint8)
+    got = native.remove_small_zones_host(img)
+    np.testing.assert_array_equal(got, want)
+
+    # ragged variant
+    vh = np.array([96, 70, 33], np.int32)
+    want_r = np.asarray(remove_small_zones_ragged(
+        jnp.asarray(img.astype(np.int32)), jnp.asarray(vh))
+    ).astype(np.uint8)
+    got_r = native.remove_small_zones_host(img, vh)
+    np.testing.assert_array_equal(got_r, want_r)

@@ -169,3 +169,19 @@ def test_plateau_and_early_stop():
     assert not early.step(0.55, 2)  # < min_delta improvement
     assert not early.step(0.56, 3)
     assert early.step(0.57, 4)
+
+
+def test_prioritized_sampler_training(data_root, tmp_path):
+    """Optional prioritized-replay sampler (reference utils.py:354-456)
+    trains end to end and updates its weights."""
+    from neuralbarkcalculator_tpu.config import TrainConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.train.loop import Experiment
+
+    config = TrainConfig(seed=1, crop_size=32, batch_size=4, epochs=1,
+                         samples_per_epoch_factor=1, pad_resize_size=64,
+                         dropout=0.1)
+    exp = Experiment(data_root, str(tmp_path / "ck"), config=config,
+                     mesh=make_mesh(n_data=2), sampler="prioritized")
+    history = exp.train(epochs=1)
+    assert len(history) == 1 and np.isfinite(history[0].loss)
