@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--float32", action="store_true", default=False,
                         help="run the conv stack in float32 instead of "
                              "bfloat16")
+    parser.add_argument("--resume", action="store_true", default=False,
+                        help="skip images whose results/ artifacts already "
+                             "exist (resumable folder runs)")
     return parser
 
 
@@ -65,8 +68,14 @@ def main(args: argparse.Namespace) -> None:
         if args.float32:
             config.use_bfloat16 = False
         model = NeuralBarkCalculator(args.model_path, config=config)
-        model.predict(args.root_path, args.exclude_nodes, images=images)
+        model.predict(args.root_path, args.exclude_nodes, images=images,
+                      resume=args.resume)
 
 
 if __name__ == "__main__":
+    main(build_parser().parse_args())
+
+
+def entrypoint() -> None:
+    """console_scripts entry (pyproject: bark-predict)."""
     main(build_parser().parse_args())

@@ -78,3 +78,8 @@ def main(args: argparse.Namespace) -> None:
 
 if __name__ == "__main__":
     main(build_parser().parse_args())
+
+
+def entrypoint() -> None:
+    """console_scripts entry (pyproject: bark-train)."""
+    main(build_parser().parse_args())

@@ -100,3 +100,5 @@ class PredictConfig:
     figure_dpi: int = 200  # reference hardcodes 900 (models.py:346);
     # ours is configurable because dpi=900 dominates reference wall-time.
     use_bfloat16: bool = True  # run the conv stack in bf16 on the MXU
+    use_pallas: bool = True  # fused upsample+argmax kernel (TPU backend
+    # only; other backends use the unfused XLA path automatically)

@@ -156,3 +156,9 @@ class BarkDataset:
 
     def iter_records(self) -> Iterator[Record]:
         return iter(self.records)
+
+    def print_filenames(self) -> None:
+        """Reference RegressionDatasetFolder.print_filenames parity
+        (called at __main__.py:271)."""
+        for rec in self.records:
+            print(rec.fname)

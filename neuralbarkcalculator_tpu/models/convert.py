@@ -144,3 +144,69 @@ def load_torch_checkpoint(path: str, head: str = "fcn") -> dict:
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
     return torch_state_dict_to_variables(state, head=head)
+
+
+# ------------------------------------------------------- reverse direction
+
+def _flatten(tree: Mapping, prefix: str = "") -> dict[str, np.ndarray]:
+    out = {}
+    for key, value in tree.items():
+        path = f"{prefix}.{key}" if prefix else key
+        if isinstance(value, Mapping):
+            out.update(_flatten(value, path))
+        else:
+            out[path] = np.asarray(value)
+    return out
+
+
+def _torch_backbone_name(path: str) -> str:
+    """flax 'layer1_0.conv2' -> torchvision 'layer1.0.conv2' etc."""
+    parts = path.split(".")
+    if parts[0].startswith("layer"):
+        stage, block = parts[0].split("_")
+        mod = parts[1]
+        if mod == "downsample_conv":
+            return f"{stage}.{block}.downsample.0.{parts[2]}"
+        if mod == "downsample_bn":
+            return f"{stage}.{block}.downsample.1.{parts[2]}"
+        return f"{stage}.{block}.{mod}.{parts[2]}"
+    return path
+
+
+def variables_to_torch_state_dict(variables: Mapping,
+                                  head: str = "fcn") -> dict:
+    """{params, batch_stats} -> torchvision-named numpy state_dict (the
+    inverse of torch_state_dict_to_variables, for exporting TPU-trained
+    weights back to the reference's ``best_model.pt`` format; wrap values
+    with torch.tensor to torch.save them)."""
+    if head != "fcn":
+        raise NotImplementedError("reverse conversion supports the "
+                                  "production fcn head")
+    fcn_rev = {"conv1": "0", "bn1": "1", "conv2": "4"}
+    out: dict[str, np.ndarray] = {}
+
+    def emit(root: str, flat: dict[str, np.ndarray], is_stats: bool):
+        for path, arr in flat.items():
+            parts = path.split(".")
+            leaf = parts[-1]
+            inner = ".".join(parts[:-1])
+            if root == "backbone":
+                name = _torch_backbone_name(f"{inner}.x")[:-2]
+            else:
+                name = fcn_rev[parts[0]]
+            if is_stats:
+                torch_leaf = {"mean": "running_mean",
+                              "var": "running_var"}[leaf]
+            else:
+                torch_leaf = {"kernel": "weight", "scale": "weight",
+                              "bias": "bias"}[leaf]
+            if leaf == "kernel":  # flax [kh,kw,I,O] -> torch [O,I,kh,kw]
+                arr = arr.transpose(3, 2, 0, 1)
+            out[f"{root}.{name}.{torch_leaf}"] = np.ascontiguousarray(arr)
+
+    emit("backbone", _flatten(variables["params"]["backbone"]), False)
+    emit("classifier", _flatten(variables["params"]["classifier"]), False)
+    emit("backbone", _flatten(variables["batch_stats"]["backbone"]), True)
+    emit("classifier", _flatten(variables["batch_stats"]["classifier"]),
+         True)
+    return out

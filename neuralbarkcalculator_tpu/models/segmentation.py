@@ -56,6 +56,18 @@ class SegmentationModel(nn.Module):
             logits = bicubic_upsample(logits, in_h, in_w)
         return logits
 
+    def head_logits(self, x, train: bool = False, valid_h=None):
+        """Head logits at the feature stride, WITHOUT the upsample — for
+        callers that fuse upsample+argmax in Pallas
+        (ops/pallas_kernels.upsample_argmax). Use via
+        ``model.apply(vars, x, ..., method=SegmentationModel.head_logits)``.
+        """
+        feat_h = (None if valid_h is None
+                  else self.backbone.valid_feature_height(valid_h))
+        feat = self.backbone(x, train=train, valid_h=valid_h)
+        logits = self.classifier(feat, train=train, valid_h=feat_h)
+        return logits.astype(jnp.float32)
+
 
 def fcn_resnet50(dropout: float = 0.1,
                  num_classes: int = NUM_CLASSES,

@@ -117,3 +117,19 @@ def put_batch(rules: ShardingRules, arrays, spatial: bool = True):
 def pad_to_multiple(n: int, m: int) -> int:
     """Smallest multiple of m that is >= n (and >= m)."""
     return max(m, ((n + m - 1) // m) * m)
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host setup over DCN (SURVEY.md §5.8).
+
+    Call once per host before ``make_mesh``; afterwards ``jax.devices()``
+    is global across the slice/pod and the same mesh/sharding code spans
+    hosts — XLA routes collectives over ICI within a slice and DCN across
+    slices. On TPU pods with the standard environment variables, calling
+    with no arguments autodetects everything.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

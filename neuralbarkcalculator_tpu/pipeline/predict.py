@@ -123,29 +123,46 @@ class NeuralBarkCalculator:
         return reporter.finalize()
 
     def predict_images(self, images: Sequence[ProcessedImage],
-                       exclude_nodes: bool = False):
+                       exclude_nodes: bool = False,
+                       prefetch: int = 2):
         """Yield (ProcessedImage, class_map[h, w] uint8) for each image, in
-        batched bucket order. Library API under the CLI surface."""
+        batched bucket order. Library API under the CLI surface.
+
+        Batches are double-buffered: JAX's async dispatch lets the next
+        batch's host->device transfer and forward overlap the current
+        batch's host-side postprocess/yielding (``prefetch`` in-flight).
+        """
+        from collections import deque
+
         buckets: dict[int, list[int]] = {}
         for i, item in enumerate(images):
             h = item.image.shape[0]
             buckets.setdefault(
                 pad_to_multiple(h, self.config.height_bucket), []).append(i)
 
-        for pad_h in sorted(buckets):
-            idxs = buckets[pad_h]
+        def chunks():
             bs = self.config.batch_size
-            for start in range(0, len(idxs), bs):
-                chunk = idxs[start:start + bs]
-                for i, cmap in zip(chunk, self._run_batch(
-                        [images[i] for i in chunk], pad_h, exclude_nodes)):
-                    yield images[i], cmap
+            for pad_h in sorted(buckets):
+                idxs = buckets[pad_h]
+                for start in range(0, len(idxs), bs):
+                    yield pad_h, idxs[start:start + bs]
+
+        pending: deque = deque()
+        for pad_h, chunk in chunks():
+            pending.append((chunk, self._launch_batch(
+                [images[i] for i in chunk], pad_h)))
+            if len(pending) >= max(1, prefetch):
+                yield from self._finish_batch(images, exclude_nodes,
+                                              *pending.popleft())
+        while pending:
+            yield from self._finish_batch(images, exclude_nodes,
+                                          *pending.popleft())
 
     # ------------------------------------------------------------ internal
 
-    def _run_batch(self, items: list[ProcessedImage], pad_h: int,
-                   exclude_nodes: bool):
-        """Pad a bucket chunk to static shapes, run the device step, crop."""
+    def _launch_batch(self, items: list[ProcessedImage], pad_h: int):
+        """Pad a bucket chunk to static shapes and dispatch the device
+        step asynchronously. Returns (items, valid_h, device_future)."""
         n = len(items)
         # round the batch up to a multiple of the data-axis size so the
         # batch dim shards evenly; surplus rows are dummies dropped below.
@@ -164,17 +181,23 @@ class NeuralBarkCalculator:
             valid_h[i] = items[0].image.shape[0]
             row_ops[i] = row_ops[0]
 
-        with stage_timer(f"predict/device_step_h{pad_h}"):
-            out = self._device_step(pad_h, n_pad)(
+        with stage_timer(f"predict/dispatch_h{pad_h}"):
+            fut = self._device_step(pad_h, n_pad)(
                 self.variables,
                 jax.device_put(batch, self.rules.image_batch),
                 jax.device_put(valid_h, self.rules.batch),
                 jax.device_put(row_ops, self.rules.batch))
-            out = np.asarray(out)
+        return items, valid_h, fut
+
+    def _finish_batch(self, images, exclude_nodes, chunk, launched):
+        items, valid_h, fut = launched
+        pad_h = fut.shape[1]
+        with stage_timer(f"predict/pull_h{pad_h}"):
+            out = np.asarray(fut)
         with stage_timer(f"predict/postprocess_h{pad_h}"):
             out = self._postprocess(out, valid_h, exclude_nodes)
-        for i, item in enumerate(items):
-            yield out[i, :item.image.shape[0]]
+        for i, (idx, item) in enumerate(zip(chunk, items)):
+            yield images[idx], out[i, :item.image.shape[0]]
 
     def _postprocess(self, preds_u8: np.ndarray, valid_h: np.ndarray,
                      exclude_nodes: bool) -> np.ndarray:
@@ -198,13 +221,30 @@ class NeuralBarkCalculator:
     @functools.lru_cache(maxsize=32)
     def _device_step(self, pad_h: int, batch: int):
         """Compile the normalize+forward+argmax step for one static
-        (pad_h, batch) shape."""
+        (pad_h, batch) shape. With use_pallas (TPU backend), upsample and
+        argmax fuse into one Pallas kernel that never materializes the
+        full-resolution float logits in HBM (ops/pallas_kernels.py)."""
         mean, std = jnp.asarray(self.mean), jnp.asarray(self.std)
         data_only = NamedSharding(self.rules.mesh, P(DATA_AXIS))
+        use_pallas = (self.config.use_pallas
+                      and jax.default_backend() == "tpu"
+                      and self.rules.n_devices == 1)
 
         def step(variables, batch_u8, valid_h, row_ops):
             x = batch_u8.astype(jnp.float32) / 255.0
             x = (x - mean) / std
+            if use_pallas:
+                from ..models.segmentation import SegmentationModel
+                from ..ops.pallas_kernels import upsample_argmax
+                from ..ops.resize import bicubic_resize_matrix
+                feat = self.model.apply(
+                    variables, x, train=False, valid_h=valid_h,
+                    method=SegmentationModel.head_logits)
+                colt = jnp.asarray(np.ascontiguousarray(
+                    bicubic_resize_matrix(feat.shape[2],
+                                          x.shape[2]).T), jnp.float32)
+                return upsample_argmax(feat, row_ops, colt,
+                                       out_w=x.shape[2])
             logits = self.model.apply(variables, x, train=False,
                                       valid_h=valid_h, row_upsample=row_ops)
             preds = jnp.argmax(logits, axis=-1)

@@ -93,3 +93,17 @@ def test_train_mode_updates_batch_stats():
     before = variables["batch_stats"]["backbone"]["bn1"]["mean"]
     after = mutated["batch_stats"]["backbone"]["bn1"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_roundtrip_conversion(torch_model):
+    """torch -> flax -> torch must be the identity on every tensor."""
+    from neuralbarkcalculator_tpu.models.convert import (
+        variables_to_torch_state_dict)
+
+    sd = {k: v for k, v in torch_model.state_dict().items()
+          if not k.endswith("num_batches_tracked")}
+    variables = torch_state_dict_to_variables(sd)
+    back = variables_to_torch_state_dict(variables)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k].numpy())
