@@ -47,8 +47,8 @@ class ExperimentCheckpoints:
         """Save a checkpoint; update best bookkeeping. Returns is_best."""
         self._ckpt.save(self._epoch_dir(epoch), _to_host(state_tree),
                         force=True)
-        entry = {"epoch": epoch, **{k: float(v) for k, v in
-                                    metrics.items()}}
+        entry = {**{k: float(v) for k, v in metrics.items()},
+                 "epoch": int(epoch)}  # epoch stays int (it names dirs)
         self.log["epochs"].append(entry)
         is_best = self._is_best(entry)
         if is_best:

@@ -155,7 +155,13 @@ class Experiment:
     # -------------------------------------------------------------- train
 
     def train(self, epochs: int | None = None,
-              valid_batch_size: int = 8) -> list[EpochLog]:
+              valid_batch_size: int = 8,
+              resume: bool = False) -> list[EpochLog]:
+        """Run the training loop. ``resume=True`` (new vs reference,
+        SURVEY.md §5.3) restores the last epoch checkpoint — weights,
+        optimizer moments, injected lr — and replays the recorded epoch
+        metrics through the plateau/early-stop controllers so the
+        continued run behaves as if never interrupted."""
         cfg = self.config
         epochs = epochs or cfg.epochs
         plateau = ReduceLROnPlateau(
@@ -166,6 +172,16 @@ class Experiment:
                               min_delta=cfg.early_stop_min_delta,
                               patience=cfg.early_stop_patience)
         key = jax.random.PRNGKey(cfg.seed)
+        start_epoch = 1
+        if resume and self.ckpts.last_epoch > 0:
+            start_epoch = self.ckpts.last_epoch + 1
+            self.load_checkpoint(self.ckpts.last_epoch)
+            lr = get_learning_rate(self.state.opt_state)
+            for entry in self.ckpts.log["epochs"]:
+                if self.monitor in entry:
+                    lr = plateau.step(entry[self.monitor], lr)
+                    early.step(entry[self.monitor], entry["epoch"])
+            key = jax.random.fold_in(key, start_epoch)
         prioritized = None
         if self.sampler_kind == "prioritized":
             from ..data.sampling import PrioritizedSampler
@@ -174,7 +190,7 @@ class Experiment:
                 len(self.train_split) * cfg.samples_per_epoch_factor,
                 self._rng, metric_mode=cfg.monitor_mode)
 
-        for epoch in range(1, epochs + 1):
+        for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             # keep per-batch metrics on device until epoch end (no sync
             # inside the hot loop; steps pipeline back-to-back). The
@@ -216,9 +232,12 @@ class Experiment:
             self._log_epoch(log, epochs)
 
             monitored = log.as_dict()[self.monitor]
+            # optimizer state saved too (Poutyne writes .optim files) so a
+            # resumed run keeps its Adam moments and injected lr
             is_best = self.ckpts.save_epoch(
                 epoch, {"params": self.state.params,
                         "batch_stats": self.state.batch_stats,
+                        "opt_state": self.state.opt_state,
                         "step": int(self.state.step)},
                 log.as_dict())
             if is_best:
@@ -282,14 +301,25 @@ class Experiment:
         return metrics
 
     def load_checkpoint(self, epoch: int) -> None:
-        tree = self.ckpts.load_checkpoint(epoch)
-        self.state = self.state.replace(
-            params=tree["params"], batch_stats=tree["batch_stats"])
+        self._restore(self.ckpts.load_checkpoint(epoch))
 
     def load_best(self) -> None:
-        tree = self.ckpts.load_best()
-        self.state = self.state.replace(
-            params=tree["params"], batch_stats=tree["batch_stats"])
+        self._restore(self.ckpts.load_best())
+
+    def _restore(self, tree: dict) -> None:
+        """Restore weights (+ optimizer state when present, keyed on the
+        current opt tree structure) from a checkpoint tree."""
+        kwargs = dict(params=tree["params"],
+                      batch_stats=tree["batch_stats"])
+        if "opt_state" in tree:
+            try:
+                kwargs["opt_state"] = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(self.state.opt_state),
+                    jax.tree_util.tree_leaves(tree["opt_state"]))
+                kwargs["step"] = int(tree.get("step", self.state.step))
+            except ValueError:
+                pass  # structure mismatch (older checkpoint): weights only
+        self.state = self.state.replace(**kwargs)
 
     # ------------------------------------------------------------- logging
 

@@ -185,3 +185,28 @@ def test_prioritized_sampler_training(data_root, tmp_path):
                      mesh=make_mesh(n_data=2), sampler="prioritized")
     history = exp.train(epochs=1)
     assert len(history) == 1 and np.isfinite(history[0].loss)
+
+
+def test_training_resume(data_root, tmp_path):
+    """Interrupted training resumes with optimizer state + scheduler
+    history intact and continues from the next epoch."""
+    from neuralbarkcalculator_tpu.config import TrainConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.train.loop import Experiment
+
+    config = TrainConfig(seed=7, crop_size=32, batch_size=4, epochs=3,
+                         samples_per_epoch_factor=1, pad_resize_size=64,
+                         dropout=0.1)
+    ckpt_dir = str(tmp_path / "ck")
+    exp = Experiment(data_root, ckpt_dir, config=config,
+                     mesh=make_mesh(n_data=2))
+    exp.train(epochs=2)
+    assert exp.ckpts.last_epoch == 2
+
+    # fresh process simulation: new Experiment over the same directory
+    exp2 = Experiment(data_root, ckpt_dir, config=config,
+                      mesh=make_mesh(n_data=2))
+    history = exp2.train(epochs=3, resume=True)
+    assert [h.epoch for h in history] == [3]
+    assert exp2.ckpts.last_epoch == 3
+    assert len(exp2.ckpts.log["epochs"]) == 3
