@@ -111,3 +111,41 @@ def test_native_ccl_matches_device_op(rng):
     ).astype(np.uint8)
     got_r = native.remove_small_zones_host(img, vh)
     np.testing.assert_array_equal(got_r, want_r)
+
+
+def _write_bmp(path, rgb, bpp=24, top_down=False):
+    """Hand-craft a BMP (24/32bpp, either row order) to exercise decoder
+    paths PIL never writes."""
+    import struct
+    h, w = rgb.shape[:2]
+    pix = bpp // 8
+    stride = (w * pix + 3) & ~3
+    data_off = 54
+    size = data_off + stride * h
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                       1, bpp, 0, stride * h, 2835, 2835, 0, 0)
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for r in order:
+        row = bytearray()
+        for c in range(w):
+            px = rgb[r, c]
+            row += bytes([px[2], px[1], px[0]] +
+                         ([255] if pix == 4 else []))
+        row += b"\0" * (stride - len(row))
+        rows.append(bytes(row))
+    with open(path, "wb") as f:
+        f.write(hdr + b"".join(rows))
+
+
+@pytest.mark.parametrize("bpp,top_down", [(24, False), (24, True),
+                                          (32, False), (32, True)])
+def test_bmp_decode_variants(tmp_path, rng, bpp, top_down):
+    rgb = (rng.random((11, 7, 3)) * 255).astype(np.uint8)
+    path = str(tmp_path / f"v{bpp}{top_down}.bmp")
+    _write_bmp(path, rgb, bpp=bpp, top_down=top_down)
+    want = np.asarray(Image.open(path).convert("RGB"))
+    np.testing.assert_array_equal(want, rgb)  # sanity: PIL agrees
+    got = native.load_image_u8_fast(path)
+    np.testing.assert_array_equal(got, rgb)

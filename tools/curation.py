@@ -125,6 +125,13 @@ def main() -> None:
     p.add_argument("path")
     p.add_argument("--n_pixels", type=int, choices=(1, 2), required=True)
 
+    p = sub.add_parser("preview-augment")
+    p.add_argument("--root_dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n", type=int, default=6)
+    p.add_argument("--crop", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+
     args = parser.parse_args()
     if args.cmd == "make-duals":
         make_duals(args.barks_dir, args.nodes_dir, args.duals_dir)
@@ -134,6 +141,46 @@ def main() -> None:
         adjust(args.duals_folder, args.samples_folder, args.out_folder)
     elif args.cmd == "fix-image":
         fix_image(args.path, args.n_pixels)
+    elif args.cmd == "preview-augment":
+        preview_augment(args.root_dir, args.out, args.n, args.crop,
+                        args.seed)
+
+
+def preview_augment(root_dir: str, out_path: str, n: int = 6,
+                    crop: int = 256, seed: int = 0) -> None:
+    """Visual augmentation debugger (reference test_color_jitter,
+    __main__.py:126-150, which plt.show()s augmented crops): renders a
+    grid of device-augmented sample/label pairs to a PNG instead of an
+    interactive window."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    from neuralbarkcalculator_tpu.data.augment import (augment_batch,
+                                                       pad_resize_pair)
+    from neuralbarkcalculator_tpu.data.dataset import BarkDataset
+
+    size = max(crop, 512)
+    dataset = BarkDataset(
+        root_dir, host_transform=lambda s, t: pad_resize_pair(s, t, size))
+    n = min(n, len(dataset))
+    imgs = np.stack([dataset[i][0] for i in range(n)]).astype(np.float32)
+    labs = np.stack([dataset[i][1] for i in range(n)])
+    out_imgs, out_labs = augment_batch(
+        jax.random.PRNGKey(seed), jnp.asarray(imgs), jnp.asarray(labs),
+        crop, jnp.zeros((3,)), jnp.ones((3,)))  # identity normalize
+    fig, axs = plt.subplots(2, n, figsize=(3 * n, 6))
+    for i in range(n):
+        axs[0][i].imshow(np.clip(np.asarray(out_imgs[i]), 0, 1))
+        axs[0][i].axis("off")
+        axs[1][i].imshow(np.asarray(out_labs[i]), vmax=2)
+        axs[1][i].axis("off")
+    plt.tight_layout()
+    plt.savefig(out_path, dpi=120)
+    plt.close(fig)
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":
