@@ -82,6 +82,15 @@ class TrainConfig:
     # Splits (utils.py:77-79)
     train_percent: float = 0.8
     valid_percent: float = 0.1
+    # TPU-native addition: the per-train-batch F1 log's in-metric
+    # connected-component postprocess costs ~5x the fwd+bwd step; True
+    # restores exact reference batch logging (val/test F1 always
+    # postprocesses regardless).
+    train_f1_postprocess: bool = False
+    # bf16 activations/conv compute for training (params stay f32). Off by
+    # default: the reference recipe trains f32 and checkpoint-reproducible
+    # training is a parity goal; flip for ~memory/VPU savings.
+    use_bfloat16: bool = False
 
 
 @dataclasses.dataclass

@@ -35,7 +35,10 @@ def get_splits(targets: Sequence[np.ndarray], wood_types: Sequence[str],
     sample_weight = np.zeros(total_items, dtype=np.float64)
     for i, (target, wood_type) in enumerate(zip(targets, wood_types)):
         idxs_by_type[type_to_idx[wood_type]].append(i)
-        sample_weight[i] = float(np.count_nonzero(target))
+        # targets may be label maps or precomputed non-zero pixel counts
+        t = np.asarray(target)
+        sample_weight[i] = float(t) if t.ndim == 0 \
+            else float(np.count_nonzero(t))
     sample_weight /= sample_weight.sum()
 
     train_split, valid_split, test_split = [], [], []

@@ -231,8 +231,14 @@ class NeuralBarkCalculator:
                       and self.rules.n_devices == 1)
 
         def step(variables, batch_u8, valid_h, row_ops):
+            from ..models.resnet import apply_row_mask
             x = batch_u8.astype(jnp.float32) / 255.0
             x = (x - mean) / std
+            # normalization turns the zero-padded rows into -mean/std;
+            # re-zero them — the ragged-batch exactness proof
+            # (models/resnet.py) requires the input to be zero beyond
+            # valid_h, matching reference conv zero-padding.
+            x = apply_row_mask(x, valid_h)
             if use_pallas:
                 from ..models.segmentation import SegmentationModel
                 from ..ops.pallas_kernels import upsample_argmax

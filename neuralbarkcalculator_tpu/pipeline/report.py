@@ -30,7 +30,10 @@ import numpy as np
 matplotlib.use("Agg", force=False)
 
 import matplotlib.patches as mpatches  # noqa: E402
-import matplotlib.pyplot as plt  # noqa: E402
+from matplotlib.figure import Figure  # noqa: E402
+# NB: figures render on the reporter's thread pool, so everything uses the
+# object-oriented Figure API — pyplot's global figure manager is not
+# thread-safe.
 
 from ..config import CLASS_NAMES, DEFAULT_MM_PER_PIXEL  # noqa: E402
 from ..io.native import save_image_u8_fast as save_image_u8  # noqa: E402
@@ -83,7 +86,8 @@ def render_combined(input_img: np.ndarray, class_map: np.ndarray,
     values = np.unique(class_map.ravel())  # full-res legend values
     imgs = [display_subsample(input_img, dpi),
             display_subsample(class_map, dpi)]
-    fig, axs = plt.subplots(1, 2)
+    fig = Figure()
+    axs = fig.subplots(1, 2)
     patches = []
     for i, ax in enumerate(axs.flatten()):
         img = imgs[i]
@@ -102,10 +106,12 @@ def render_combined(input_img: np.ndarray, class_map: np.ndarray,
     suptitle = "Estimated composition percentages\n"
     for class_name, class_percent in zip(CLASS_NAMES[1:], class_percents):
         suptitle += "{} : {:.3f}\n".format(class_name, class_percent)
-    plt.suptitle(suptitle)
-    plt.tight_layout()
-    plt.savefig(out_path, format="png", dpi=dpi)
-    plt.close(fig)
+    fig.suptitle(suptitle)
+    try:
+        fig.tight_layout()
+    except Exception:  # reference gets the same non-fatal layout warning
+        pass
+    fig.savefig(out_path, format="png", dpi=dpi)
 
 
 def save_dual(class_map: np.ndarray, out_path: str) -> None:

@@ -27,7 +27,9 @@ import numpy as np
 matplotlib.use("Agg", force=False)
 
 import matplotlib.patches as mpatches  # noqa: E402
-import matplotlib.pyplot as plt  # noqa: E402
+from matplotlib.figure import Figure  # noqa: E402
+# object-oriented Figure API throughout: these render on a thread pool and
+# pyplot's global state is not thread-safe
 
 from ..config import CLASS_NAMES, NUM_CLASSES, WOOD_TYPES  # noqa: E402
 from ..data.dataset import save_image_u8  # noqa: E402
@@ -71,7 +73,8 @@ def render_eval_image(input_img, target, preds, fname, wood_type, split,
     names = ["Input", "Target", "Generated image"]
     values = np.unique(preds.ravel())
     imgs = [display_subsample(x, dpi) for x in (input_img, target, preds)]
-    fig, axs = plt.subplots(1, 3)
+    fig = Figure()
+    axs = fig.subplots(1, 3)
     patches = []
     for i, ax in enumerate(axs.flatten()):
         img = imgs[i]
@@ -105,11 +108,13 @@ def render_eval_image(input_img, target, preds, fname, wood_type, split,
 
     fig.legend(handles=patches, title="Classes",
                bbox_to_anchor=(0.4, -0.2, 0.5, 0.5))
-    plt.suptitle(suptitle)
-    plt.tight_layout()
-    plt.savefig(os.path.join(results_dir, "combined_images", wood_type,
+    fig.suptitle(suptitle)
+    try:
+        fig.tight_layout()
+    except Exception:
+        pass
+    fig.savefig(os.path.join(results_dir, "combined_images", wood_type,
                              split, fname), format="png", dpi=dpi)
-    plt.close(fig)
 
     dual = np.zeros(preds.shape, np.uint8)
     dual[preds == 1] = 127

@@ -94,32 +94,44 @@ class Experiment:
         self.ckpts = ExperimentCheckpoints(directory, monitor=self.monitor,
                                            mode=self.config.monitor_mode)
 
-        # ---- host data: scan + pad_resize to the static training size
+        # ---- host data: scan; stats from the RAW images (the reference's
+        # compute_mean_std/compute_pos_weight run on the untransformed
+        # dataset, __main__.py:200-207), then pad_resize to the static
+        # training size for the device-resident arrays.
         size = self.config.pad_resize_size
-        dataset = BarkDataset(
-            data_root,
-            host_transform=lambda s, t: pad_resize_pair(s, t, size))
+        dataset = BarkDataset(data_root)
         n = len(dataset)
         self.fnames = [r.fname for r in dataset.records]
         self.wood_types = [r.wood_type for r in dataset.records]
         images = np.zeros((n, size, size, 3), np.uint8)
         labels = np.zeros((n, size, size), np.uint8)
+        means, stds = [], []
+        class_counts = np.zeros(3, np.int64)
+        raw_nonzero = np.zeros(n, np.int64)  # for get_splits weights
         for i in range(n):
             sample, target, _, _ = dataset[i]
+            flat = sample.reshape(-1, 3).astype(np.float64)
+            means.append(flat.mean(0))
+            stds.append(flat.std(0, ddof=1))  # torch .std: unbiased
+            class_counts += np.bincount(target.reshape(-1), minlength=3)
+            raw_nonzero[i] = np.count_nonzero(target)
+            sample, target = pad_resize_pair(sample, target, size)
             images[i] = np.rint(np.clip(sample, 0.0, 1.0) * 255.0)
             labels[i] = target
         del dataset
 
         # ---- stats + splits (reference __main__.py:204-224)
-        self.mean, self.std = compute_mean_std(images)
-        self.pos_weight = compute_pos_weight(labels)
+        self.mean = np.mean(means, axis=0).tolist()
+        self.std = np.mean(stds, axis=0).tolist()
+        total = class_counts.sum()
+        self.pos_weight = (total / (3.0 * class_counts)).tolist()
         print(self.mean)
         print(self.std)
         print(self.pos_weight)
         rng = np.random.default_rng(self.config.seed)
         self.train_split, self.valid_split, self.test_split, \
             self.train_weights = get_splits(
-                labels, self.wood_types, rng,
+                raw_nonzero, self.wood_types, rng,
                 self.config.train_percent, self.config.valid_percent)
         self._rng = rng
 
@@ -128,8 +140,13 @@ class Experiment:
         self.labels = jax.device_put(labels, self.rules.replicated)
 
         # ---- model + optimizer state
-        self.model = MODEL_FACTORIES[model_name](
-            dropout=self.config.dropout)
+        import inspect
+        dtype = jnp.bfloat16 if self.config.use_bfloat16 else jnp.float32
+        factory = MODEL_FACTORIES[model_name]
+        kwargs = {"dtype": dtype}
+        if "dropout" in inspect.signature(factory).parameters:
+            kwargs["dropout"] = self.config.dropout  # fcn heads only
+        self.model = factory(**kwargs)
         variables = self.model.init(
             jax.random.PRNGKey(self.config.seed),
             jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
@@ -146,7 +163,8 @@ class Experiment:
             self.rules, loss_name=loss_name, crop=self.config.crop_size,
             mean=self.mean, std=self.std,
             brightness=self.config.jitter_brightness,
-            saturation=self.config.jitter_saturation)
+            saturation=self.config.jitter_saturation,
+            f1_postprocess=self.config.train_f1_postprocess)
         self._eval_step = make_eval_step(
             self.model, self.rules, loss_name=loss_name,
             mean=self.mean, std=self.std)

@@ -48,7 +48,8 @@ def make_loss_fn(name: str) -> Callable:
 def make_train_step(rules: ShardingRules, loss_name: str = "lovasz",
                     crop: int = 512, mean=None, std=None,
                     brightness: float = 0.1, saturation: float = 0.2,
-                    compute_f1: bool = True):
+                    compute_f1: bool = True,
+                    f1_postprocess: bool = False):
     """Build the fused gather+augment+train step.
 
     Signature: step(state, images_u8 [N,H,W,3], labels_u8 [N,H,W],
@@ -82,7 +83,13 @@ def make_train_step(rules: ShardingRules, loss_name: str = "lovasz",
         metrics = {"loss": loss,
                    "miou": jnp.mean(iou_from_confusion(cm))}
         if compute_f1:
-            metrics["f1"] = jnp.mean(pixelwise_f1(logits, labs))
+            # The per-train-batch F1 is display-only (Poutyne batch
+            # logging); its in-metric connected-component postprocess
+            # costs ~5x the whole fwd+bwd on TPU, so it defaults off here
+            # — pass f1_postprocess=True for exact reference batch logs.
+            # Validation/test F1 (make_eval_step) always postprocesses.
+            metrics["f1"] = jnp.mean(pixelwise_f1(
+                logits, labs, postprocess=f1_postprocess))
         return state, metrics
 
     return jax.jit(

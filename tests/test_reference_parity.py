@@ -34,8 +34,9 @@ def torch_model():
     return model
 
 
-def _reference_predict(model, img_u8, return_margins=False):
-    """models.py:263-276 semantics in torch+scipy."""
+def _reference_predict(model, img_u8):
+    """models.py:263-276 semantics in torch+scipy. Returns
+    (postprocessed map, raw argmax map, top1-top2 margins)."""
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     from measure_reference_baseline import MEAN, STD, remove_small_zones_np
 
@@ -45,15 +46,11 @@ def _reference_predict(model, img_u8, return_margins=False):
     logits = logits[0].numpy().transpose(1, 2, 0)
     raw = logits.argmax(-1).astype(np.int32)
     out = remove_small_zones_np(raw)
-    if not return_margins:
-        return out
     s = np.sort(logits, axis=-1)
-    margins = s[..., 2] - s[..., 1]
-    margins[out != raw] = -1.0  # postprocess-moved pixels: excluded marker
-    return out, margins
+    return out, raw, s[..., 2] - s[..., 1]
 
 
-def test_full_pipeline_parity(torch_model, rng, tmp_path):
+def test_full_pipeline_parity(torch_model, tmp_path):
     import flax.serialization
     from neuralbarkcalculator_tpu.config import PredictConfig
     from neuralbarkcalculator_tpu.models.convert import (
@@ -61,6 +58,10 @@ def test_full_pipeline_parity(torch_model, rng, tmp_path):
     from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
     from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
     from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+
+    rng = np.random.default_rng(123)  # own stream: fixed images
+    # regardless of suite order (the shared fixture advances with every
+    # prior test)
 
     variables = torch_state_dict_to_variables(torch_model.state_dict())
     ckpt = str(tmp_path / "ref.msgpack")
@@ -84,25 +85,39 @@ def test_full_pipeline_parity(torch_model, rng, tmp_path):
                                 config=config)
 
     for item, got in calc.predict_images(images):
-        want, margins = _reference_predict(torch_model, item.image,
-                                           return_margins=True)
-        agreement = np.mean(got == want)
-        assert agreement >= 0.995, f"pixel agreement {agreement}"
-        # Stronger than a raw agreement bar: any disagreeing pixel must be
-        # a near-tie in the reference logits (random weights have tiny
-        # margins everywhere; the padded batch's different f32 accumulation
-        # order flips only those — the unpadded forward matches torch to
-        # 6e-8 with zero argmax flips, see test_model.py). Pixels the
-        # postprocess moved (margin exactly 0 marker) are excluded.
-        dis = (got != want) & (margins >= 0)
+        want, want_raw, margins = _reference_predict(torch_model,
+                                                     item.image)
+        # Stage 1 — raw argmax: every disagreeing pixel must be a
+        # near-tie in the reference logits. Random weights have tiny
+        # margins everywhere; the padded batch's different f32
+        # accumulation order flips only those (the unpadded forward
+        # matches torch to 6e-8 with zero flips, test_model.py).
+        ours_raw = _engine_raw_argmax(calc, item)
+        dis = ours_raw != want_raw
         if np.any(dis):
             assert margins[dis].max() < 1e-3, (
-                f"confident pixel disagrees (margin "
-                f"{margins[dis].max()})")
+                f"confident raw pixel disagrees "
+                f"(margin {margins[dis].max()})")
+        # Stage 2 — postprocessed maps: tie flips can move whole
+        # components across the 150 px threshold, so the bound is
+        # statistical, matching the 0.1%-pixel-F1 acceptance budget.
+        agreement = np.mean(got == want)
+        assert agreement >= 0.995, f"pixel agreement {agreement}"
         for c in (1, 2):
             ours = np.sum(got == c) / got.size
             ref = np.sum(want == c) / want.size
-            assert abs(ours - ref) < 2e-3
+            assert abs(ours - ref) < 5e-3
+
+
+def _engine_raw_argmax(calc, item):
+    """The engine's device-step output (normalize+forward+argmax) for one
+    image, before the host postprocess."""
+    from neuralbarkcalculator_tpu.parallel.mesh import pad_to_multiple
+
+    pad_h = pad_to_multiple(item.image.shape[0],
+                            calc.config.height_bucket)
+    _, _, fut = calc._launch_batch([item], pad_h)
+    return np.asarray(fut)[0, :item.image.shape[0]].astype(np.int32)
 
 
 def test_spatial_sharding_equivalence(rng):
