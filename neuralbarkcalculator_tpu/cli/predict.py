@@ -11,6 +11,7 @@ behavior): --model_path, --batch_size, --dpi, --float32.
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -46,10 +47,24 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeat CLI invocations skip the
+    20-40 s cold compile of each (bucket, batch) program."""
+    import jax
+    cache = os.environ.get(
+        "NEURALBARK_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "neuralbarkcalculator_tpu", "xla"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(args: argparse.Namespace) -> None:
     if args.device == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
 
     from ..config import PredictConfig
     from ..pipeline.folders import generate_folders

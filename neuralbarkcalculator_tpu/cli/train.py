@@ -48,6 +48,8 @@ def main(args: argparse.Namespace) -> None:
     if args.device == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from .predict import _enable_compile_cache
+    _enable_compile_cache()
 
     from ..config import TrainConfig
     from ..train.evaluate import evaluation_report

@@ -57,13 +57,24 @@ def _lovasz_softmax_flat(probas: jnp.ndarray, labels: jnp.ndarray,
 
 
 def lovasz_softmax_loss(logits: jnp.ndarray, labels: jnp.ndarray,
-                        num_classes: int = NUM_CLASSES) -> jnp.ndarray:
-    """LovaszSoftmax module parity (lovasz_losses.py:162-166 + 169-223 with
-    per_image=False, classes='present').
+                        num_classes: int = NUM_CLASSES,
+                        per_image: bool = False) -> jnp.ndarray:
+    """LovaszSoftmax module parity (lovasz_losses.py:162-166 + 169-223;
+    the reference default and actual usage is per_image=False; the
+    per_image=True variant averages the flat loss over batch entries,
+    lovasz_losses.py:180-184).
 
-    logits: [..., H, W, C]; labels: [..., H, W] int.
+    logits: [..., H, W, C]; labels: [..., H, W] int (leading batch dim
+    required for per_image=True).
     """
     probas = jax.nn.softmax(logits, axis=-1)
+    if per_image:
+        b = probas.shape[0]
+        return jnp.mean(jax.vmap(
+            lambda p, l: _lovasz_softmax_flat(
+                p.reshape(-1, num_classes), l.reshape(-1), num_classes))(
+            probas.reshape(b, -1, num_classes),
+            labels.reshape(b, -1)))
     flat_p = probas.reshape(-1, num_classes)
     flat_l = labels.reshape(-1)
     return _lovasz_softmax_flat(flat_p, flat_l, num_classes)

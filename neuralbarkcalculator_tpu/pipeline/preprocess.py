@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
@@ -88,10 +89,11 @@ class Preprocessor:
                                  desc="Preprocessing images")
 
             save_futures = []
-            for group in _shape_batches(iterator, self.batch_size):
-                keyed, imgs = zip(*group)
+            pending: deque = deque()
+
+            def finish(keyed, launched):
                 for (idx, rec), processed in zip(
-                        keyed, self._process_shape_batch(imgs)):
+                        keyed, self._finish_shape_batch(launched)):
                     item = ProcessedImage(processed, rec.fname,
                                           rec.wood_type)
                     results[idx] = item
@@ -100,20 +102,34 @@ class Preprocessor:
                                             rec.wood_type, rec.fname)
                         save_futures.append(
                             pool.submit(save_image_u8, path, processed))
+
+            # double-buffered: the next batch's host->device transfer and
+            # resize dispatch before the current batch's results are
+            # pulled, so the (tunnel-bound) transfers overlap host work
+            for group in _shape_batches(iterator, self.batch_size):
+                keyed, imgs = zip(*group)
+                pending.append((keyed, self._launch_shape_batch(imgs)))
+                if len(pending) >= 2:
+                    finish(*pending.popleft())
+            while pending:
+                finish(*pending.popleft())
             for fut in save_futures:
                 fut.result()
         return results  # type: ignore[return-value]
 
-    def _process_shape_batch(self,
-                             imgs: tuple[np.ndarray, ...]) -> Iterator[
-                                 np.ndarray]:
-        """Device-process same-shape images; yields trimmed uint8 arrays."""
+    def _launch_shape_batch(self, imgs: tuple[np.ndarray, ...]):
+        """Dispatch transfer + device preprocess for same-shape images."""
         h, w = imgs[0].shape[:2]
         do_resize = max(h, w) > self.target_size
         square_after = do_resize or h == w
         batch = jnp.asarray(np.stack(imgs))
         out, first, last = _preprocess_batch(batch, self.target_size,
                                              do_resize)
+        return out, first, last, square_after
+
+    def _finish_shape_batch(self, launched) -> Iterator[np.ndarray]:
+        """Pull a launched batch; yields trimmed uint8 arrays."""
+        out, first, last, square_after = launched
         out = np.asarray(out)
         first = np.asarray(first)
         last = np.asarray(last)
