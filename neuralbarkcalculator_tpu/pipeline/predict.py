@@ -85,17 +85,15 @@ class NeuralBarkCalculator:
         """
         processed_path = os.path.join(root_path, "processed")
         results_dir = os.path.join(root_path, "results")
-        if images is None:
-            records = make_dataset(processed_path)
-            with ThreadPoolExecutor(max_workers=8) as pool:
-                with stage_timer("predict/load_processed"):
-                    arrays = list(pool.map(
-                        lambda r: load_image_u8(r.sample_path), records))
-            images = [ProcessedImage(a, r.fname, r.wood_type)
-                      for a, r in zip(arrays, records)]
-
         reporter = PredictReporter(results_dir, dpi=self.config.figure_dpi,
                                    mm_per_pix=self.config.mm_per_pix)
+        if images is None:
+            # streaming path: header-only size scan, just-in-time chunk
+            # decoding — folder size never bounds host memory
+            records = make_dataset(processed_path)
+            return self._predict_streaming(records, reporter,
+                                           exclude_nodes, resume,
+                                           results_dir, progress)
         done: dict[int, np.ndarray] = {}
         if resume:
             for i, item in enumerate(images):
@@ -121,6 +119,111 @@ class NeuralBarkCalculator:
             reporter.add(item.image, class_map, item.fname, item.wood_type,
                          order=order_of[id(item)])
         return reporter.finalize()
+
+    def _predict_streaming(self, records, reporter, exclude_nodes: bool,
+                           resume: bool, results_dir: str,
+                           progress: bool) -> str:
+        """Memory-bounded folder prediction: decode each bucket chunk on
+        the thread pool just in time (one chunk prefetched), run the
+        double-buffered device pipeline, render, release. Image sizes come
+        from file headers (native *_info / PIL lazy open), so planning a
+        100k-image folder costs no decodes."""
+        from collections import deque
+
+        from ..io.native import image_info
+
+        done = 0
+        pending_rows: list[int] = []
+        if resume:
+            for i, rec in enumerate(records):
+                dual_path = os.path.join(results_dir, "outputs",
+                                         rec.wood_type, rec.fname)
+                fig_path = os.path.join(results_dir, "combined_images",
+                                        rec.wood_type, rec.fname)
+                if os.path.isfile(dual_path) and os.path.isfile(fig_path):
+                    dual = load_image_u8(dual_path, grayscale=True)
+                    reporter.add_row_only(
+                        ((dual == 127) * 1 + (dual == 255) * 2).astype(
+                            np.uint8), rec.fname, rec.wood_type, order=i)
+                    pending_rows.append(i)
+        skip = set(pending_rows)
+
+        def header_height(path: str) -> int:
+            info = image_info(path)
+            if info is not None:
+                return info[0]
+            from PIL import Image
+            with open(path, "rb") as f:
+                return Image.open(f).size[1]  # lazy: header only
+
+        buckets: dict[int, list[int]] = {}
+        for i, rec in enumerate(records):
+            if i in skip:
+                continue
+            h = header_height(rec.sample_path)
+            buckets.setdefault(
+                pad_to_multiple(h, self.config.height_bucket), []).append(i)
+        chunks = []
+        bs = self.config.batch_size
+        for pad_h in sorted(buckets):
+            idxs = buckets[pad_h]
+            for start in range(0, len(idxs), bs):
+                chunks.append((pad_h, idxs[start:start + bs]))
+
+        total = sum(len(c[1]) for c in chunks)
+        bar = None
+        if progress:
+            try:
+                from tqdm import tqdm
+                bar = tqdm(total=total, ascii=True,
+                           desc="Predicted images")
+            except ImportError:  # pragma: no cover
+                pass
+
+        def decode_chunk(idxs):
+            return [ProcessedImage(load_image_u8(records[i].sample_path),
+                                   records[i].fname, records[i].wood_type)
+                    for i in idxs]
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            decode_futs = {
+                j: pool.submit(decode_chunk, chunks[j][1])
+                for j in range(min(2, len(chunks)))}
+            pending: deque = deque()
+
+            def finish_one():
+                chunk_idxs, launched = pending.popleft()
+                for i, (idx, cmap) in enumerate(self._finish_batch_raw(
+                        exclude_nodes, chunk_idxs, launched)):
+                    item = launched[0][i]
+                    reporter.add(item.image, cmap, item.fname,
+                                 item.wood_type, order=idx)
+                    if bar is not None:
+                        bar.update(1)
+
+            for j, (pad_h, idxs) in enumerate(chunks):
+                items = decode_futs.pop(j).result()
+                if j + 2 < len(chunks):
+                    decode_futs[j + 2] = pool.submit(
+                        decode_chunk, chunks[j + 2][1])
+                pending.append((idxs, self._launch_batch(items, pad_h)))
+                if len(pending) >= 2:
+                    finish_one()
+            while pending:
+                finish_one()
+        if bar is not None:
+            bar.close()
+        return reporter.finalize()
+
+    def _finish_batch_raw(self, exclude_nodes, chunk_idxs, launched):
+        items, valid_h, fut = launched
+        pad_h = fut.shape[1]
+        with stage_timer(f"predict/pull_h{pad_h}"):
+            out = np.asarray(fut)
+        with stage_timer(f"predict/postprocess_h{pad_h}"):
+            out = self._postprocess(out, valid_h, exclude_nodes)
+        for i, (idx, item) in enumerate(zip(chunk_idxs, items)):
+            yield idx, out[i, :item.image.shape[0]]
 
     def predict_images(self, images: Sequence[ProcessedImage],
                        exclude_nodes: bool = False,

@@ -197,3 +197,33 @@ def test_exclude_nodes(root, checkpoint):
                                 config=config)
     for _, cmap in calc.predict_images(images[:1], exclude_nodes=True):
         assert not np.any(cmap == 2)
+
+
+def test_predict_streaming_from_disk(root, checkpoint):
+    """The streaming (no preloaded images) path must produce the same CSV
+    as the in-memory path and the same artifacts."""
+    import csv as csvmod
+
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.folders import generate_folders
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+
+    ckpt_path, _, _ = checkpoint
+    generate_folders(root, only_preprocess=False)
+    images = Preprocessor().preprocess_images(root, progress=False)
+    config = PredictConfig(model_path=ckpt_path, batch_size=2,
+                           use_bfloat16=False, figure_dpi=40)
+    calc = NeuralBarkCalculator(ckpt_path, mesh=make_mesh(n_data=2),
+                                config=config)
+    csv_mem = calc.predict(root, images=images, progress=False)
+    rows_mem = list(csvmod.reader(open(csv_mem), delimiter="\t"))
+
+    csv_stream = calc.predict(root, progress=False)  # images=None
+    rows_stream = list(csvmod.reader(open(csv_stream), delimiter="\t"))
+    assert rows_stream == rows_mem
+    # streaming + resume combination
+    os.remove(os.path.join(root, "results", "outputs", "sapin", "a.png"))
+    csv_resume = calc.predict(root, progress=False, resume=True)
+    assert list(csvmod.reader(open(csv_resume), delimiter="\t")) == rows_mem
