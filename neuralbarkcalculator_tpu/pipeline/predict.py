@@ -10,12 +10,13 @@ trips per image (models.py:249-262). Here the whole folder is batched:
   batch *exactly* equivalent to per-image execution (models/resnet.py,
   ops/resize.py) — no recompilation per height;
 - one jitted program per (bucket, batch) shape does normalize -> forward ->
-  argmax -> remove_small_zones -> exclude_nodes remap on device, sharded
-  over the mesh data axis (spatial width sharding over the model axis for
-  the conv stack; the connected-component stage is constrained back to
-  data-only sharding because its gathers are global per image);
-- only the uint8 class maps return to host, where artifact rendering
-  (pipeline/report.py) runs on threads, overlapped with the next batch.
+  fused Pallas upsample+argmax on device, sharded over the mesh data axis
+  (spatial width sharding over the model axis available for the conv
+  stack); batches are double-buffered so the next batch's transfer and
+  forward overlap the current batch's host work;
+- only the uint8 class maps return to host, where the exact native
+  union-find remove_small_zones + exclude_nodes remap run (io/native.py),
+  and artifact rendering (pipeline/report.py) proceeds on threads.
 
 Checkpoints: a reference ``best_model.pt`` (torch state_dict, converted on
 load — models/convert.py), a flax msgpack file, or an orbax directory
@@ -132,7 +133,6 @@ class NeuralBarkCalculator:
 
         from ..io.native import image_info
 
-        done = 0
         pending_rows: list[int] = []
         if resume:
             for i, rec in enumerate(records):
@@ -266,6 +266,11 @@ class NeuralBarkCalculator:
     def _launch_batch(self, items: list[ProcessedImage], pad_h: int):
         """Pad a bucket chunk to static shapes and dispatch the device
         step asynchronously. Returns (items, valid_h, device_future)."""
+        if pad_h % 8:
+            raise ValueError(
+                f"height bucket {pad_h} must be a multiple of 8 (the "
+                f"model's output stride); set PredictConfig.height_bucket "
+                f"accordingly")
         n = len(items)
         # round the batch up to a multiple of the data-axis size so the
         # batch dim shards evenly; surplus rows are dummies dropped below.
@@ -293,14 +298,9 @@ class NeuralBarkCalculator:
         return items, valid_h, fut
 
     def _finish_batch(self, images, exclude_nodes, chunk, launched):
-        items, valid_h, fut = launched
-        pad_h = fut.shape[1]
-        with stage_timer(f"predict/pull_h{pad_h}"):
-            out = np.asarray(fut)
-        with stage_timer(f"predict/postprocess_h{pad_h}"):
-            out = self._postprocess(out, valid_h, exclude_nodes)
-        for i, (idx, item) in enumerate(zip(chunk, items)):
-            yield images[idx], out[i, :item.image.shape[0]]
+        for idx, cmap in self._finish_batch_raw(exclude_nodes, chunk,
+                                                launched):
+            yield images[idx], cmap
 
     def _postprocess(self, preds_u8: np.ndarray, valid_h: np.ndarray,
                      exclude_nodes: bool) -> np.ndarray:

@@ -114,3 +114,34 @@ def test_remove_small_zones_batched(rng):
     for i in range(3):
         np.testing.assert_array_equal(
             got[i], _scipy_remove_small_zones(imgs[i]))
+
+
+def test_label_components_spiral_worst_case():
+    """A spiral is the adversarial case for sweep-propagation labeling
+    (every arm 'turn' needs a sweep): the while_loop must still converge
+    to one component within its bound."""
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.ops.ccl import label_components
+
+    n = 64
+    grid = np.zeros((n, n), bool)
+    top, bottom, left, right = 0, n - 1, 0, n - 1
+    while left <= right and top <= bottom:  # draw a connected spiral
+        grid[top, left:right + 1] = True
+        grid[top:bottom + 1, right] = True
+        grid[bottom, left:right + 1] = True
+        if left + 2 <= right:
+            grid[top:bottom + 1, left] = False
+            grid[top + 2:bottom + 1, left + 2] = True
+        top += 2
+        bottom -= 2
+        left += 2
+        right -= 2
+    from scipy import ndimage
+    want, n_comp = ndimage.label(grid, structure=np.ones((3, 3), bool))
+    lab = np.asarray(label_components(jnp.asarray(grid)))
+    got_ids = np.unique(lab[grid])
+    assert len(got_ids) == n_comp  # same number of components
+    # identical partition: each scipy component maps to exactly one label
+    for comp in range(1, n_comp + 1):
+        assert len(np.unique(lab[want == comp])) == 1
