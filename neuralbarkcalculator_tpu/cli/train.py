@@ -32,6 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--crop_size", type=int, default=None)
+    parser.add_argument("--pad_size", type=int, default=None,
+                        help="pad_resize target (reference: 1024)")
+    parser.add_argument("--samples_factor", type=int, default=None,
+                        help="sampler num_samples = len(train) * factor "
+                             "(reference: 12)")
+    parser.add_argument("--resume", action="store_true", default=False,
+                        help="continue from the last epoch checkpoint")
     parser.add_argument("--model", type=str, default="fcn_resnet50")
     parser.add_argument("--loss", type=str, default="lovasz",
                         choices=["lovasz", "cwe", "mixed", "jaccard"])
@@ -62,13 +69,17 @@ def main(args: argparse.Namespace) -> None:
         config.batch_size = args.batch_size
     if args.crop_size is not None:
         config.crop_size = args.crop_size
+    if args.pad_size is not None:
+        config.pad_resize_size = args.pad_size
+    if args.samples_factor is not None:
+        config.samples_per_epoch_factor = args.samples_factor
 
     data_dir = args.data_dir or os.path.join(args.root_dir, "Images",
                                              "1024_with_jedi")
     exp = Experiment(data_dir, os.path.join(args.root_dir, "moar"),
                      config=config, model_name=args.model,
                      loss_name=args.loss, monitor=args.monitor)
-    exp.train()
+    exp.train(resume=args.resume)
     exp.test()
     try:
         exp.load_best()
