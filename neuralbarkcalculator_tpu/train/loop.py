@@ -310,9 +310,15 @@ class Experiment:
             out.setdefault(k, 0.0)
         return out
 
-    def test(self, batch_size: int = 8) -> dict:
-        """exp.test parity (__main__.py:291): evaluate the test split with
-        the current weights."""
+    def test(self, batch_size: int = 8, use_best: bool = True) -> dict:
+        """exp.test parity (__main__.py:291): Poutyne's Experiment.test
+        restores the best checkpoint before evaluating the test split;
+        pass use_best=False to test the current weights."""
+        if use_best:
+            try:
+                self.load_best()
+            except FileNotFoundError:
+                pass  # nothing saved yet: current weights
         metrics = self.evaluate(self.test_split, batch_size)
         print("Test:", ", ".join(f"{k}: {v:g}" for k, v in
                                  sorted(metrics.items())))

@@ -145,3 +145,25 @@ def test_label_components_spiral_worst_case():
     # identical partition: each scipy component maps to exactly one label
     for comp in range(1, n_comp + 1):
         assert len(np.unique(lab[want == comp])) == 1
+
+
+def test_remove_small_zones_random_grids_vs_native():
+    """Property test: the device scan-CCL and the native C++ union-find
+    must agree on random class maps across densities and seeds."""
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.ops.ccl import remove_small_zones
+
+    native = pytest.importorskip("neuralbarkcalculator_tpu.io.native")
+    if native.get_lib() is None:  # pragma: no cover
+        pytest.skip("native lib unavailable")
+
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        p0 = 0.3 + 0.5 * r.random()
+        img = r.choice([0, 1, 2], size=(80, 96),
+                       p=[p0, (1 - p0) * 0.8, (1 - p0) * 0.2]).astype(
+            np.int32)
+        want = np.asarray(remove_small_zones(jnp.asarray(img)))
+        got = native.remove_small_zones_host(img.astype(np.uint8))
+        np.testing.assert_array_equal(got, want.astype(np.uint8),
+                                      err_msg=f"seed {seed}")

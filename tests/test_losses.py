@@ -140,3 +140,22 @@ def test_stable_bce_vs_torch(rng):
     want = float((x.clamp(min=0) - x * t + (1 + (-x.abs()).exp()).log()).mean())
     got = float(stable_bce_loss(logits, targets))
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_lovasz_per_image_variant():
+    """per_image=True averages the flat loss over batch entries
+    (reference lovasz_losses.py:180-184)."""
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.ops.losses import lovasz_softmax_loss
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(3, 8, 8, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 3, size=(3, 8, 8)))
+    want = np.mean([
+        float(lovasz_softmax_loss(logits[i:i + 1], labels[i:i + 1]))
+        for i in range(3)])
+    got = float(lovasz_softmax_loss(logits, labels, per_image=True))
+    assert abs(got - want) < 1e-6
+    # and differs (in general) from the flattened-batch default
+    flat = float(lovasz_softmax_loss(logits, labels))
+    assert abs(got - flat) > 1e-8
