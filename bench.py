@@ -77,7 +77,9 @@ def main() -> None:
     from neuralbarkcalculator_tpu.config import PredictConfig
     from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
 
-    config = PredictConfig(model_path=ckpt, figure_dpi=DPI, batch_size=4)
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    config = PredictConfig(model_path=ckpt, figure_dpi=DPI,
+                           batch_size=batch)
     calc = NeuralBarkCalculator(ckpt, config=config)
 
     # warmup pass: compiles every bucket step and warms transfer shapes

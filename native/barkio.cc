@@ -179,7 +179,9 @@ int png_decode(const char* path, uint8_t* out, int64_t out_size) {
     } else if (!memcmp(type, "IDAT", 4)) {
       if (idat_len + len > idat_cap) {
         idat_cap = (idat_len + len) * 2;
-        idat = (uint8_t*)realloc(idat, idat_cap);
+        uint8_t* grown = (uint8_t*)realloc(idat, idat_cap);
+        if (!grown) { rc = BARKIO_E_IO; break; }
+        idat = grown;
       }
       memcpy(idat + idat_len, data, len);
       idat_len += len;
@@ -194,6 +196,7 @@ int png_decode(const char* path, uint8_t* out, int64_t out_size) {
   int64_t stride = (int64_t)w * ch;
   int64_t raw_size = (stride + 1) * h;
   uint8_t* raw = (uint8_t*)malloc(raw_size);
+  if (!raw) { free(buf); free(idat); return BARKIO_E_IO; }
   uLongf dest_len = (uLongf)raw_size;
   if (uncompress(raw, &dest_len, idat, idat_len) != Z_OK ||
       dest_len != (uLongf)raw_size) {

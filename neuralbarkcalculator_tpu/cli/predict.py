@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true", default=False,
                         help="skip images whose results/ artifacts already "
                              "exist (resumable folder runs)")
+    parser.add_argument("--profile", action="store_true", default=False,
+                        help="print per-stage wall-time report at the end")
     return parser
 
 
@@ -85,6 +87,9 @@ def main(args: argparse.Namespace) -> None:
         model = NeuralBarkCalculator(args.model_path, config=config)
         model.predict(args.root_path, args.exclude_nodes, images=images,
                       resume=args.resume)
+    if args.profile:
+        from ..utils.profiling import print_report
+        print_report()
 
 
 if __name__ == "__main__":

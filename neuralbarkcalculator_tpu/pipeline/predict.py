@@ -370,6 +370,12 @@ class NeuralBarkCalculator:
 
 def _load_variables(path: str, model_name: str) -> dict:
     """Load {params, batch_stats} from .pt / .msgpack / orbax dir."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"model checkpoint not found: {path!r} (expected a reference "
+            f"best_model.pt, a flax .msgpack file, or an orbax directory; "
+            f"the predict CLI looks for ./best_model.pt by default, "
+            f"reference predict.py:57)")
     head = "deeplab" if model_name.startswith("deeplab") else "fcn"
     if path.endswith(".pt") or path.endswith(".pth"):
         from ..models.convert import load_torch_checkpoint
