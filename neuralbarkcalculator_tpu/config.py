@@ -91,6 +91,10 @@ class TrainConfig:
     # default: the reference recipe trains f32 and checkpoint-reproducible
     # training is a parity goal; flip for ~memory/VPU savings.
     use_bfloat16: bool = False
+    # Keep the whole uint8 dataset in device HBM (steps ship only indices;
+    # ~4 MB/image-pair at 1024^2). Set False when the corpus exceeds HBM:
+    # batches are then assembled on host and transferred per step.
+    device_resident_data: bool = True
 
 
 @dataclasses.dataclass

@@ -147,20 +147,19 @@ def evaluation_report(experiment, root_dir: str, dpi: int = 200,
     variables = experiment.variables
 
     @jax.jit
-    def forward(images_u8, idx):
-        x = (images_u8[idx].astype(jnp.float32) / 255.0 - mean) / std
+    def forward(batch_u8):
+        x = (batch_u8.astype(jnp.float32) / 255.0 - mean) / std
         return model.apply(variables, x, train=False)
 
     rows: list[list[str]] = []
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futures = []
         for i in range(len(experiment.fnames)):
-            idx = jnp.asarray([i], jnp.int32)
-            logits = forward(experiment.images, idx)
-            m = _eval_image_metrics(logits[0],
-                                    experiment.labels[i].astype(jnp.int32))
+            # works for both HBM-resident and host-resident datasets
             input_img = np.asarray(experiment.images[i])
             target = np.asarray(experiment.labels[i]).astype(np.int32)
+            logits = forward(jnp.asarray(input_img[None]))
+            m = _eval_image_metrics(logits[0], jnp.asarray(target))
             futures.append(pool.submit(
                 render_eval_image, input_img, target,
                 np.asarray(m["preds"]), experiment.fnames[i],

@@ -135,9 +135,16 @@ class Experiment:
                 self.config.train_percent, self.config.valid_percent)
         self._rng = rng
 
-        # ---- device-resident dataset (replicated into HBM)
-        self.images = jax.device_put(images, self.rules.replicated)
-        self.labels = jax.device_put(labels, self.rules.replicated)
+        # ---- dataset placement: HBM-resident (default; steps consume
+        # only indices) or host-resident (streamed per batch when the
+        # corpus exceeds HBM, TrainConfig.device_resident_data=False)
+        self.device_resident = self.config.device_resident_data
+        if self.device_resident:
+            self.images = jax.device_put(images, self.rules.replicated)
+            self.labels = jax.device_put(labels, self.rules.replicated)
+        else:
+            self.images = images
+            self.labels = labels
 
         # ---- model + optimizer state
         import inspect
@@ -223,9 +230,9 @@ class Experiment:
             for batch_pos in batches:
                 idx = self.train_split[batch_pos]
                 key, sub = jax.random.split(key)
+                imgs, labs, didx = self._step_inputs(idx)
                 self.state, metrics = self._train_step(
-                    self.state, self.images, self.labels,
-                    jnp.asarray(idx, jnp.int32), sub)
+                    self.state, imgs, labs, didx, sub)
                 if prioritized is not None:
                     prioritized.update(batch_pos,
                                        float(metrics["miou"]) / 100.0)
@@ -280,6 +287,17 @@ class Experiment:
         return {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
 
+    def _step_inputs(self, idx):
+        """(images, labels, device_idx) for a batch: the HBM-resident
+        arrays + indices, or (streamed mode) the host-gathered batch with
+        identity indices."""
+        idx = np.asarray(idx)
+        if self.device_resident:
+            return self.images, self.labels, jnp.asarray(idx, jnp.int32)
+        return (jax.device_put(self.images[idx], self.rules.replicated),
+                jax.device_put(self.labels[idx], self.rules.replicated),
+                jnp.arange(len(idx), dtype=jnp.int32))
+
     def evaluate(self, split: np.ndarray, batch_size: int = 8,
                  variables: dict | None = None) -> dict:
         """Poutyne-style evaluation: per-batch metrics averaged weighted by
@@ -296,8 +314,8 @@ class Experiment:
             if b % d:
                 idx = np.concatenate(
                     [idx, np.repeat(idx[-1:], d - b % d)])
-            out = self._eval_step(variables, self.images, self.labels,
-                                  jnp.asarray(idx, jnp.int32))
+            imgs, labs, didx = self._step_inputs(idx)
+            out = self._eval_step(variables, imgs, labs, didx)
             # padded repeats bias per-batch metrics by at most
             # (d-1)/batch; reference parity holds when batch % d == 0.
             for k, v in out.items():

@@ -210,3 +210,21 @@ def test_training_resume(data_root, tmp_path):
     assert [h.epoch for h in history] == [3]
     assert exp2.ckpts.last_epoch == 3
     assert len(exp2.ckpts.log["epochs"]) == 3
+
+
+def test_host_resident_data_mode(data_root, tmp_path):
+    """device_resident_data=False streams batches host->device per step;
+    training must behave identically in structure (finite metrics,
+    checkpoints)."""
+    from neuralbarkcalculator_tpu.config import TrainConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.train.loop import Experiment
+
+    config = TrainConfig(seed=5, crop_size=32, batch_size=4, epochs=1,
+                         samples_per_epoch_factor=1, pad_resize_size=64,
+                         dropout=0.1, device_resident_data=False)
+    exp = Experiment(data_root, str(tmp_path / "ck"), config=config,
+                     mesh=make_mesh(n_data=2))
+    assert isinstance(exp.images, np.ndarray)  # stayed on host
+    history = exp.train(epochs=1)
+    assert np.isfinite(history[0].loss) and np.isfinite(history[0].val_miou)
