@@ -128,7 +128,12 @@ class Experiment:
         print(self.mean)
         print(self.std)
         print(self.pos_weight)
-        rng = np.random.default_rng(self.config.seed)
+        # Legacy MT19937 stream: the reference seeds global np.random
+        # (make_training_deterministic, utils.py:195-198) and get_splits
+        # shuffles with it — RandomState(seed) reproduces the exact same
+        # shuffle sequence, so split membership matches the reference's
+        # run for the same seed.
+        rng = np.random.RandomState(self.config.seed)
         self.train_split, self.valid_split, self.test_split, \
             self.train_weights = get_splits(
                 raw_nonzero, self.wood_types, rng,

@@ -124,3 +124,27 @@ class EarlyStopping:
                 print(f"Epoch {epoch}: early stopping")
             return True
         return False
+
+
+def make_training_deterministic(seed: int) -> "np.random.RandomState":
+    """Reference make_training_deterministic parity (utils.py:195-198):
+    seeds Python ``random``, global legacy numpy, and torch when present.
+
+    The JAX side threads explicit PRNG keys instead of global state
+    (SURVEY.md C12); this exists for host-side code and reference-script
+    compatibility. Returns a RandomState(seed) — the same MT19937 stream
+    the reference's global np.random yields after seeding — for callers
+    that want an explicit handle.
+    """
+    import random as _random
+
+    import numpy as np
+
+    _random.seed(seed)
+    np.random.seed(seed)
+    try:
+        import torch
+        torch.manual_seed(seed)
+    except ImportError:
+        pass
+    return np.random.RandomState(seed)

@@ -210,3 +210,31 @@ def test_prioritized_sampler_update():
     assert s.weights[0] == pytest.approx(0.75)
     stats = s.stats()
     assert stats["avg_visits"] == pytest.approx(3 / 4)
+
+
+def test_split_membership_matches_reference_global_seed():
+    """The reference seeds global legacy np.random
+    (make_training_deterministic, utils.py:195-198) and get_splits uses
+    np.random.shuffle; RandomState(seed) must reproduce the identical
+    split membership."""
+    from neuralbarkcalculator_tpu.data.sampling import get_splits
+
+    counts = np.arange(1, 31) * 100
+    types = (["epinette_gelee"] * 10 + ["epinette_non_gelee"] * 10
+             + ["sapin"] * 10)
+
+    np.random.seed(42)  # reference-style global seeding
+    ref_order = []
+    for start in (0, 10, 20):
+        arr = np.arange(start, start + 10)
+        np.random.shuffle(arr)
+        ref_order.append(arr)
+
+    tr, va, te, w = get_splits(counts, types, np.random.RandomState(42))
+    # per type: ceil(8) train / floor(1) valid / 1 test, in shuffle order
+    want_train = np.concatenate([o[:8] for o in ref_order])
+    want_valid = np.concatenate([o[8:9] for o in ref_order])
+    want_test = np.concatenate([o[9:] for o in ref_order])
+    np.testing.assert_array_equal(tr, want_train)
+    np.testing.assert_array_equal(va, want_valid)
+    np.testing.assert_array_equal(te, want_test)
