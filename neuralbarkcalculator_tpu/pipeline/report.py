@@ -115,11 +115,14 @@ def render_combined(input_img: np.ndarray, class_map: np.ndarray,
 
 
 def save_dual(class_map: np.ndarray, out_path: str) -> None:
-    """Raw mask PNG: bark=127, node=255 (models.py:349-356)."""
+    """Raw mask PNG: bark=127, node=255 (models.py:349-356).
+
+    zlib level 2: masks are long runs of three values — higher levels cost
+    ~4x the host time for a few percent smaller files."""
     dual = np.zeros(class_map.shape, dtype=np.uint8)
     dual[class_map == 1] = 127
     dual[class_map == 2] = 255
-    save_image_u8(out_path, dual)
+    save_image_u8(out_path, dual, zlevel=2)
 
 
 def write_final_stats(rows: list[list[str]], out_path: str) -> None:
