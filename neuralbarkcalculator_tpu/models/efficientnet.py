@@ -128,8 +128,15 @@ class EfficientNetFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_h=None):
-        # NB: valid_h masking is not implemented for this experimental
-        # backbone; ragged batched inference uses the ResNet models.
+        # Ragged-height masking is NOT supported here, fundamentally:
+        # TF-style SAME padding (which efficientnet_pytorch emulates) pads
+        # stride-2 convs asymmetrically by an amount depending on the
+        # *true* input height's parity, so a zero-padded batch cannot
+        # reproduce each image's own conv phase for general heights —
+        # unlike the ResNet's fixed symmetric padding, where row masks
+        # make padded batches bit-exact (models/resnet.py). Exactness
+        # would hold only for heights that are multiples of 32.
+        # Ragged batched inference therefore uses the ResNet models.
         del valid_h
         width_mult, depth_mult = SCALING[self.variant]
         norm = lambda name: nn.BatchNorm(  # noqa: E731
@@ -163,4 +170,6 @@ class EfficientNetFeatures(nn.Module):
     def valid_feature_height(self, valid_h):
         raise NotImplementedError(
             "ragged batched inference is supported for the ResNet "
-            "backbones; EfficientNet variants run at fixed sizes")
+            "backbones only: TF-SAME stride-2 padding phase depends on "
+            "the true input height's parity, so padded batches cannot be "
+            "made bit-exact for EfficientNet (see __call__ docstring)")

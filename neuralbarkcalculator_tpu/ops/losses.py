@@ -125,7 +125,10 @@ def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     logits: [..., H, W, C]; labels: [..., H, W] int; weights: [C].
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: the gather's VJP is
+    # a large scatter-add, slow on TPU; the elementwise product fuses
+    ce = -jnp.sum(logp * jax.nn.one_hot(labels, logits.shape[-1],
+                                        dtype=logp.dtype), axis=-1)
     max_classes = jnp.maximum(jnp.argmax(logits, axis=-1), labels)
     w = weights[max_classes]
     return jnp.mean(ce * w)
