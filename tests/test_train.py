@@ -228,3 +228,48 @@ def test_host_resident_data_mode(data_root, tmp_path):
     assert isinstance(exp.images, np.ndarray)  # stayed on host
     history = exp.train(epochs=1)
     assert np.isfinite(history[0].loss) and np.isfinite(history[0].val_miou)
+
+
+def test_compute_mean_std_matches_torch_formula():
+    """Reference compute_mean_std (utils.py:23-39): per-image channel
+    mean / unbiased std over pixels, averaged over images."""
+    torch = pytest.importorskip("torch")
+    from neuralbarkcalculator_tpu.train.loop import (compute_mean_std,
+                                                     compute_pos_weight)
+
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((4, 16, 16, 3)) * 255).astype(np.uint8)
+
+    want_mean = torch.zeros(3)
+    want_std = torch.zeros(3)
+    for im in imgs:
+        t = torch.tensor(im.transpose(2, 0, 1), dtype=torch.float64) / 255
+        flat = t.reshape(1, 3, -1)
+        want_mean += flat.mean(2).sum(0)
+        want_std += flat.std(2).sum(0)
+    want_mean /= len(imgs)
+    want_std /= len(imgs)
+
+    mean, std = compute_mean_std(imgs)
+    np.testing.assert_allclose(mean, want_mean.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(std, want_std.numpy(), rtol=1e-6)
+
+    labels = rng.choice([0, 1, 2], size=(4, 16, 16), p=[.7, .2, .1])
+    pw = compute_pos_weight(labels)
+    counts = np.bincount(labels.reshape(-1), minlength=3)
+    np.testing.assert_allclose(pw, counts.sum() / (3.0 * counts))
+
+
+def test_profiling_utils(capsys):
+    from neuralbarkcalculator_tpu.utils import profiling
+
+    profiling.report(reset=True)
+    with profiling.stage_timer("unit/a"):
+        pass
+    with profiling.stage_timer("unit/a"):
+        pass
+    rep = profiling.report()
+    assert rep["unit/a"]["calls"] == 2
+    profiling.print_report(reset=True)
+    assert "unit/a" in capsys.readouterr().out
+    assert profiling.report() == {}
