@@ -227,3 +227,37 @@ def test_predict_streaming_from_disk(root, checkpoint):
     os.remove(os.path.join(root, "results", "outputs", "sapin", "a.png"))
     csv_resume = calc.predict(root, progress=False, resume=True)
     assert list(csvmod.reader(open(csv_resume), delimiter="\t")) == rows_mem
+
+
+def test_predict_equivalent_across_meshes(root, checkpoint):
+    """Ragged bucketed inference must give identical class maps on a
+    (1,1) mesh and a (2,2) spatially-partitioned mesh (GSPMD width
+    sharding + row masks composed)."""
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.folders import generate_folders
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+
+    ckpt_path, _, _ = checkpoint
+    generate_folders(root, only_preprocess=True)
+    images = Preprocessor().preprocess_images(root, save=False,
+                                              progress=False)
+    config = PredictConfig(model_path=ckpt_path, batch_size=4,
+                           use_bfloat16=False)
+    maps = {}
+    for name, mesh in [("single", make_mesh(n_data=1, n_model=1)),
+                       ("2x2", make_mesh(n_data=2, n_model=2))]:
+        calc = NeuralBarkCalculator(ckpt_path, mesh=mesh, config=config)
+        maps[name] = {item.fname: m for item, m in
+                      calc.predict_images(images)}
+    for fname in maps["single"]:
+        np.testing.assert_array_equal(maps["single"][fname],
+                                      maps["2x2"][fname])
+
+
+def test_missing_checkpoint_clear_error(tmp_path):
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+
+    with pytest.raises(FileNotFoundError, match="best_model.pt"):
+        NeuralBarkCalculator(str(tmp_path / "nope.msgpack"))
