@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "exist (resumable folder runs)")
     parser.add_argument("--profile", action="store_true", default=False,
                         help="print per-stage wall-time report at the end")
+    parser.add_argument("--watch", type=float, default=None, metavar="SECS",
+                        help="serving mode: re-scan ROOT every SECS "
+                             "seconds, preprocessing and predicting only "
+                             "new images (incremental resume); Ctrl-C to "
+                             "stop")
     return parser
 
 
@@ -73,20 +78,42 @@ def main(args: argparse.Namespace) -> None:
     from ..pipeline.predict import NeuralBarkCalculator
     from ..pipeline.preprocess import Preprocessor
 
-    generate_folders(args.root_path, args.only_preprocess)
-    images = Preprocessor().preprocess_images(args.root_path)
+    config = PredictConfig(model_path=args.model_path)
+    if args.batch_size is not None:
+        config.batch_size = args.batch_size
+    if args.dpi is not None:
+        config.figure_dpi = args.dpi
+    if args.float32:
+        config.use_bfloat16 = False
 
-    if not args.only_preprocess:
-        config = PredictConfig(model_path=args.model_path)
-        if args.batch_size is not None:
-            config.batch_size = args.batch_size
-        if args.dpi is not None:
-            config.figure_dpi = args.dpi
-        if args.float32:
-            config.use_bfloat16 = False
-        model = NeuralBarkCalculator(args.model_path, config=config)
-        model.predict(args.root_path, args.exclude_nodes, images=images,
-                      resume=args.resume)
+    model = None
+
+    def run_once(resume: bool) -> None:
+        nonlocal model
+        generate_folders(args.root_path, args.only_preprocess)
+        images = Preprocessor().preprocess_images(args.root_path,
+                                                  resume=resume)
+        if args.only_preprocess:
+            return
+        if model is None:
+            model = NeuralBarkCalculator(args.model_path, config=config)
+        # in resume/watch mode stream from processed/ (the incremental
+        # preprocess returns only new images; predict skips done ones)
+        model.predict(args.root_path, args.exclude_nodes,
+                      images=None if resume else images, resume=resume)
+
+    if args.watch is None:
+        run_once(args.resume)
+    else:
+        import time
+        print(f"watching {args.root_path} every {args.watch:g}s "
+              f"(Ctrl-C to stop)", flush=True)
+        while True:
+            try:
+                run_once(resume=True)
+                time.sleep(args.watch)
+            except KeyboardInterrupt:
+                break
     if args.profile:
         from ..utils.profiling import print_report
         print_report()

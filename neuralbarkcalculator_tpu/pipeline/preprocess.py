@@ -70,14 +70,26 @@ class Preprocessor:
 
     def preprocess_images(self, root_path: str,
                           save: bool = True,
-                          progress: bool = True) -> list[ProcessedImage]:
+                          progress: bool = True,
+                          resume: bool = False) -> list[ProcessedImage]:
         """Process root/samples/** into root/processed/samples/**.
 
         Returns the processed images in manifest order so the full pipeline
         can feed prediction without re-reading the PNGs it just wrote.
+
+        ``resume`` skips records whose processed PNG already exists
+        (incremental folders / serving mode); only the newly processed
+        images are returned.
         """
         records = make_dataset(root_path)
         output_dir = os.path.join(root_path, "processed")
+        if resume:
+            records = [
+                r for r in records
+                if not os.path.isfile(os.path.join(
+                    output_dir, "samples", r.wood_type, r.fname))]
+            if not records:
+                return []
         results: list[ProcessedImage | None] = [None] * len(records)
 
         with ThreadPoolExecutor(max_workers=self.io_workers) as pool:

@@ -261,3 +261,23 @@ def test_missing_checkpoint_clear_error(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="best_model.pt"):
         NeuralBarkCalculator(str(tmp_path / "nope.msgpack"))
+
+
+def test_preprocess_resume_incremental(root):
+    """Incremental preprocess (serving mode): only new images processed."""
+    from neuralbarkcalculator_tpu.pipeline.folders import generate_folders
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+
+    generate_folders(root, only_preprocess=True)
+    p = Preprocessor()
+    first = p.preprocess_images(root, progress=False)
+    assert len(first) == 3
+    # nothing new -> nothing processed
+    assert p.preprocess_images(root, progress=False, resume=True) == []
+    # add one image -> only it is processed
+    Image.fromarray(_wood_image(192, 192, 8, 8, seed=9)).save(
+        os.path.join(root, "samples", "sapin", "new.bmp"))
+    second = p.preprocess_images(root, progress=False, resume=True)
+    assert [im.fname for im in second] == ["new.png"]
+    assert os.path.isfile(os.path.join(root, "processed", "samples",
+                                       "sapin", "new.png"))
