@@ -161,3 +161,66 @@ def augment_batch(key: jax.Array, imgs: jnp.ndarray, labs: jnp.ndarray,
     return jax.vmap(
         lambda k, i, l: _augment_one(k, i, l, crop, brightness, saturation,
                                      mean, std))(keys, imgs, labs)
+
+
+def pad_to_biggest_image(samples: list[np.ndarray],
+                         targets: list[np.ndarray]
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Reference pad_to_biggest_image parity (utils.py:250-264, unused in
+    the reference's main): pad_resize every (sample, target) pair to the
+    largest width/height in the batch, then stack.
+
+    samples: list of [H, W, C] float; targets: list of [H, W] int.
+    """
+    height = max(s.shape[0] for s in samples)
+    width = max(s.shape[1] for s in samples)
+    out_s, out_t = [], []
+    for sample, target in zip(samples, targets):
+        s = pad_resize(sample, width, height)
+        t = np.rint(pad_resize(target.astype(np.float32), width,
+                               height)).astype(np.int32)
+        out_s.append(s)
+        out_t.append(t)
+    return np.stack(out_s), np.stack(out_t)
+
+
+def norm_color_jitter(key: jax.Array, img: jnp.ndarray,
+                      brightness: float = 0.0, contrast: float = 0.0,
+                      saturation: float = 0.0) -> jnp.ndarray:
+    """Reference NormColorJitter parity (utils.py:267-351, unused in the
+    reference's main): jitter factors sampled from N(1, x) instead of
+    U[1-x, 1+x], adjustments applied in a random order.
+
+    img: [H, W, 3] float in [0, 1]. A zero parameter disables that
+    adjustment (reference _check_input).
+    """
+    kb, kc, ks, korder = jax.random.split(key, 4)
+
+    def bright(x):
+        if brightness == 0:
+            return x
+        f = 1.0 + brightness * jax.random.normal(kb, ())
+        return jnp.clip(x * f, 0.0, 1.0)
+
+    def contr(x):
+        if contrast == 0:
+            return x
+        f = 1.0 + contrast * jax.random.normal(kc, ())
+        gray_mean = jnp.mean(_grayscale(x))
+        return jnp.clip(gray_mean + f * (x - gray_mean), 0.0, 1.0)
+
+    def sat(x):
+        if saturation == 0:
+            return x
+        f = 1.0 + saturation * jax.random.normal(ks, ())
+        gray = _grayscale(x)
+        return jnp.clip(gray + f * (x - gray), 0.0, 1.0)
+
+    # random application order (reference shuffles the transform list)
+    orders = [(bright, contr, sat), (bright, sat, contr),
+              (contr, bright, sat), (contr, sat, bright),
+              (sat, bright, contr), (sat, contr, bright)]
+    idx = jax.random.randint(korder, (), 0, len(orders))
+    branches = [
+        (lambda x, fs=fs: fs[2](fs[1](fs[0](x)))) for fs in orders]
+    return jax.lax.switch(idx, branches, img)

@@ -238,3 +238,34 @@ def test_split_membership_matches_reference_global_seed():
     np.testing.assert_array_equal(tr, want_train)
     np.testing.assert_array_equal(va, want_valid)
     np.testing.assert_array_equal(te, want_test)
+
+
+def test_pad_to_biggest_image():
+    from neuralbarkcalculator_tpu.data.augment import pad_to_biggest_image
+
+    rng = np.random.default_rng(0)
+    samples = [rng.random((16, 20, 3)).astype(np.float32),
+               rng.random((24, 12, 3)).astype(np.float32)]
+    targets = [rng.integers(0, 3, (16, 20)), rng.integers(0, 3, (24, 12))]
+    s, t = pad_to_biggest_image(samples, targets)
+    assert s.shape == (2, 24, 20, 3)
+    assert t.shape == (2, 24, 20)
+    assert set(np.unique(t)).issubset({0, 1, 2})
+
+
+def test_norm_color_jitter():
+    import jax
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.data.augment import norm_color_jitter
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((8, 8, 3)).astype(np.float32))
+    out = norm_color_jitter(jax.random.PRNGKey(0), img, brightness=0.15,
+                            contrast=0.15, saturation=0.15)
+    out = np.asarray(out)
+    assert out.shape == img.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert not np.allclose(out, np.asarray(img))  # actually jittered
+    # zero params -> identity
+    same = norm_color_jitter(jax.random.PRNGKey(0), img)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(img))
