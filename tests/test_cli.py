@@ -54,3 +54,44 @@ def test_config_defaults_match_reference():
     assert (t.early_stop_min_delta, t.early_stop_patience) == (1e-1, 8)
     assert (t.monitor, t.monitor_mode) == ("val_miou", "max")
     assert t.samples_per_epoch_factor == 12
+
+
+def test_predict_cli_main_end_to_end(tmp_path):
+    """Full cli.predict main() on the CPU mesh: scaffold, incremental
+    preprocess, predict, artifacts — the same plumbing --watch loops."""
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import os
+    from PIL import Image
+
+    from neuralbarkcalculator_tpu.cli.predict import build_parser, main
+    from neuralbarkcalculator_tpu.models.segmentation import fcn_resnet50
+
+    root = tmp_path / "cliroot"
+    d = root / "samples" / "sapin"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    img = (rng.random((96, 64, 3)) * 120 + 90).astype(np.uint8)
+    Image.fromarray(img).save(d / "one.bmp")
+
+    model = fcn_resnet50(dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    ckpt = str(tmp_path / "m.msgpack")
+    with open(ckpt, "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+
+    main(build_parser().parse_args(
+        [str(root), "--model_path", ckpt, "--dpi", "40",
+         "--batch_size", "8", "--float32", "--profile"]))
+    assert os.path.isfile(root / "results" / "final_stats.csv")
+    assert os.path.isfile(root / "results" / "outputs" / "sapin" /
+                          "one.png")
+    # second run with --resume is a no-op recompute (watch-mode step)
+    main(build_parser().parse_args(
+        [str(root), "--model_path", ckpt, "--dpi", "40", "--float32",
+         "--resume"]))
+    rows = open(root / "results" / "final_stats.csv").read().strip()
+    assert len(rows.split("\n")) == 2
