@@ -273,3 +273,19 @@ def test_profiling_utils(capsys):
     profiling.print_report(reset=True)
     assert "unit/a" in capsys.readouterr().out
     assert profiling.report() == {}
+
+
+def test_experiment_with_deeplab_model(data_root, tmp_path):
+    """Model-zoo selection: deeplab factories take no dropout kwarg
+    (Experiment inspects the signature)."""
+    from neuralbarkcalculator_tpu.config import TrainConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.train.loop import Experiment
+
+    config = TrainConfig(seed=2, crop_size=32, batch_size=4, epochs=1,
+                         samples_per_epoch_factor=1, pad_resize_size=64)
+    exp = Experiment(data_root, str(tmp_path / "ck"), config=config,
+                     mesh=make_mesh(n_data=2),
+                     model_name="deeplabv3_resnet50")
+    history = exp.train(epochs=1)
+    assert np.isfinite(history[0].loss)
