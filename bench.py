@@ -8,11 +8,21 @@ batch_size=1).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Content realism: the bench folder is *structured* log imagery
+(tools/bench_data.py — blobby bark, dark trim bands, node islands,
+sub-threshold speckles) and the model is actually *trained* on that
+distribution (tools/make_bench_model.py, cached after the first run), so
+the content-dependent stages — the host union-find postprocess and the
+figure rendering — run over class maps with realistic component
+statistics. The warmup pass records predicted-vs-generated component
+stats in benchmarks/bench_mask_stats.json.
+
 The baseline denominator is the measured reference-architecture CPU
-pipeline on this host (tools/measure_reference_baseline.py; cached in
+pipeline on this host (tools/measure_reference_baseline.py --structured,
+same content + the same trained weights exported to torch; cached in
 benchmarks/reference_baseline.json with provenance). Both sides render
 figures at dpi=100 so the comparison measures the compute pipeline, not
-matplotlib rasterization settings (the reference hardcodes dpi=900,
+matplotlib rasterization settings (the reference hardcodes 900,
 models.py:346, which would dominate either side).
 """
 from __future__ import annotations
@@ -23,7 +33,9 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 import numpy as np  # noqa: E402
 
@@ -34,8 +46,12 @@ TIMED_PASSES = 2  # report the best (the dev tunnel's throughput varies
 # run to run; steady-state per-chip throughput is what the metric means)
 
 
-def build_folder(root: str) -> None:
+def build_folder(root: str) -> list[np.ndarray]:
+    """Structured bench folder; returns the generated dual masks."""
     from PIL import Image
+
+    from bench_data import structured_dual_mask, structured_image
+
     rng = np.random.default_rng(0)
     os.makedirs(os.path.join(root, "samples", "sapin"), exist_ok=True)
     os.makedirs(os.path.join(root, "processed", "samples", "sapin"),
@@ -43,24 +59,76 @@ def build_folder(root: str) -> None:
     for sub in ("combined_images", "outputs"):
         os.makedirs(os.path.join(root, "results", sub, "sapin"),
                     exist_ok=True)
+    masks = []
     for i in range(N_IMAGES):
         h = HEIGHTS[i % len(HEIGHTS)]
-        img = (rng.random((h, 1024, 3)) * 120 + 90).astype(np.uint8)
+        mask = structured_dual_mask(rng, h, 1024)
+        img = structured_image(rng, mask)
+        masks.append(mask)
         Image.fromarray(img).save(os.path.join(
             root, "processed", "samples", "sapin", f"img{i:02d}.png"))
+    return masks
+
+
+def record_mask_stats(root: str, generated: list[np.ndarray]) -> None:
+    """Predicted-vs-generated component statistics -> benchmarks/ (the
+    bench-realism proof: the maps the postprocess+figures actually see
+    must look like real duals)."""
+    from PIL import Image
+
+    from bench_data import component_stats
+
+    def avg(stats_list):
+        out = {}
+        for cls_key in stats_list[0]:
+            out[cls_key] = {
+                k: float(np.mean([s[cls_key][k] for s in stats_list]))
+                for k in stats_list[0][cls_key]}
+        return out
+
+    pred_dir = os.path.join(root, "results", "outputs", "sapin")
+    preds = []
+    for fname in sorted(os.listdir(pred_dir)):
+        dual = np.asarray(Image.open(os.path.join(pred_dir, fname)))
+        preds.append(component_stats(
+            ((dual == 127) * 1 + (dual == 255) * 2).astype(np.uint8)))
+    payload = {
+        "generated_duals": avg([component_stats(m) for m in generated]),
+        "predicted_class_maps": avg(preds),
+        "note": "predicted stats are measured on the warmup pass's dual "
+                "PNGs (post remove_small_zones); generated stats are the "
+                "synthetic ground truth before postprocess",
+    }
+    with open(os.path.join(_REPO, "benchmarks",
+                           "bench_mask_stats.json"), "w") as f:
+        json.dump(payload, f, indent=1)
 
 
 def make_checkpoint(path: str) -> None:
-    import flax.serialization
-    import jax
-    import jax.numpy as jnp
+    """Trained-on-structured-data weights (cached; see module docstring).
+    Set NEURALBARK_BENCH_RANDOM=1 to fall back to random init (forward
+    cost is identical; postprocess/figure content is not)."""
+    if os.environ.get("NEURALBARK_BENCH_RANDOM") == "1":
+        import flax.serialization
+        import jax
+        import jax.numpy as jnp
 
-    from neuralbarkcalculator_tpu.models.segmentation import fcn_resnet50
-    model = fcn_resnet50(dropout=0.0)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 64, 64, 3)), train=False)
-    with open(path, "wb") as f:
-        f.write(flax.serialization.to_bytes(variables))
+        from neuralbarkcalculator_tpu.models.segmentation import fcn_resnet50
+        model = fcn_resnet50(dropout=0.0)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(variables))
+        return
+    from make_bench_model import ensure_bench_model
+
+    cached = ensure_bench_model(
+        os.environ.get("NEURALBARK_BENCH_MODEL",
+                       os.path.join(os.path.expanduser("~"), ".cache",
+                                    "neuralbarkcalculator_tpu",
+                                    "bench_model.msgpack")))
+    import shutil
+    shutil.copyfile(cached, path)
 
 
 def _timed_pass(calc, root: str) -> float:
@@ -78,7 +146,7 @@ def main() -> None:
     np.asarray(jnp.ones((8, 128)))
 
     root = tempfile.mkdtemp(prefix="bench_root_")
-    build_folder(root)
+    generated_masks = build_folder(root)
     ckpt = os.path.join(root, "model.msgpack")
     make_checkpoint(ckpt)
 
@@ -92,6 +160,10 @@ def main() -> None:
 
     # warmup pass: compiles every bucket step and warms transfer shapes
     calc.predict(root, progress=False)
+    try:
+        record_mask_stats(root, generated_masks)
+    except Exception as e:  # stats are evidence, not the metric
+        print(f"bench_mask_stats skipped: {e}", file=sys.stderr)
     # timed passes: best-of-N (steady-state throughput)
     elapsed = min(_timed_pass(calc, root) for _ in range(TIMED_PASSES))
     ips = N_IMAGES / elapsed

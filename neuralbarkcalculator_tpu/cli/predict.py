@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="reference .pt, flax .msgpack, or orbax dir "
                              "(reference loads ./best_model.pt, "
                              "predict.py:57)")
+    parser.add_argument("--model", type=str, default="fcn_resnet50",
+                        help="model zoo entry (fcn_resnet50 is the "
+                             "reference production model, models.py:221; "
+                             "fcn_efficientnet_b{n} etc. for alternates)")
     parser.add_argument("--batch_size", type=int, default=None,
                         help="images per device step (default from "
                              "PredictConfig)")
@@ -96,7 +100,8 @@ def main(args: argparse.Namespace) -> None:
         if args.only_preprocess:
             return
         if model is None:
-            model = NeuralBarkCalculator(args.model_path, config=config)
+            model = NeuralBarkCalculator(args.model_path, config=config,
+                                         model_name=args.model)
         # in resume/watch mode stream from processed/ (the incremental
         # preprocess returns only new images; predict skips done ones)
         model.predict(args.root_path, args.exclude_nodes,

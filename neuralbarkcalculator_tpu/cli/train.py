@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true", default=False,
                         help="continue from the last epoch checkpoint")
     parser.add_argument("--model", type=str, default="fcn_resnet50")
+    parser.add_argument("--backbone_ckpt", type=str, default=None,
+                        help="ImageNet backbone init: bare torchvision "
+                             "resnet50/101 state_dict (.pth/.pt/.npz) — "
+                             "the reference's pretrained=True "
+                             "(models.py:127-130)")
     parser.add_argument("--loss", type=str, default="lovasz",
                         choices=["lovasz", "cwe", "mixed", "jaccard"])
     parser.add_argument("--monitor", type=str, default=None,
@@ -73,6 +78,8 @@ def main(args: argparse.Namespace) -> None:
         config.pad_resize_size = args.pad_size
     if args.samples_factor is not None:
         config.samples_per_epoch_factor = args.samples_factor
+    if args.backbone_ckpt is not None:
+        config.backbone_ckpt = args.backbone_ckpt
 
     data_dir = args.data_dir or os.path.join(args.root_dir, "Images",
                                              "1024_with_jedi")

@@ -95,6 +95,13 @@ class TrainConfig:
     # ~4 MB/image-pair at 1024^2). Set False when the corpus exceeds HBM:
     # batches are then assembled on host and transferred per step.
     device_resident_data: bool = True
+    # ImageNet-pretrained backbone initialization: the reference fine-tunes
+    # from torchvision pretrained=True (models.py:127-130 via
+    # __main__.py:231). Point this at a bare torchvision resnet50/101
+    # ImageNet state_dict (.pth/.pt/.npz); the backbone subtree of the
+    # freshly initialized model is replaced before training
+    # (models/convert.py:torchvision_resnet_to_backbone).
+    backbone_ckpt: str | None = None
 
 
 @dataclasses.dataclass

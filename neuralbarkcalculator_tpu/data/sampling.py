@@ -47,6 +47,14 @@ def get_splits(targets: Sequence[np.ndarray], wood_types: Sequence[str],
         arr = np.asarray(idxs_by_type[idx])
         rng.shuffle(arr)
         n_data = len(arr)
+        if n_data == 0:
+            # The reference raises ZeroDivisionError here when a wood type
+            # is absent (utils.py:109); predict already supports subsets
+            # of wood types, so training does too. A zero weight leaves
+            # the normalization over present types byte-identical when
+            # all three are present (the constant 3 cancels).
+            wood_type_weights.append(0.0)
+            continue
         wood_type_weights.append(total_items / (3 * n_data))
         n_train = int(ceil(train_percent * n_data))
         n_valid = int(floor(valid_percent * n_data))

@@ -126,6 +126,13 @@ class EfficientNetFeatures(nn.Module):
     drop_connect_rate: float = 0.2
     dtype: Dtype = jnp.float32
 
+    # TF-SAME stride-2 padding phase depends on the true input height, so
+    # zero-padded batches cannot be made bit-exact (see __call__); the
+    # predict engine falls back to exact-height bucketing (one compiled
+    # program per distinct trimmed height) for this backbone.
+    supports_ragged = False
+    feature_stride = 32
+
     @nn.compact
     def __call__(self, x, train: bool = False, valid_h=None):
         # Ragged-height masking is NOT supported here, fundamentally:

@@ -102,6 +102,19 @@ class DilatedResNet(nn.Module):
     replace_stride_with_dilation: Sequence[bool] = (False, True, True)
     dtype: Dtype = jnp.float32
 
+    # Fixed symmetric conv padding makes zero-padded batches bit-exact
+    # with per-image row masks (predict engine's ragged bucketing).
+    supports_ragged = True
+
+    @property
+    def feature_stride(self) -> int:
+        """Output stride: stem (2) x pool (2) x each non-dilated stage."""
+        stride = 4
+        for dilate in self.replace_stride_with_dilation:
+            if not dilate:
+                stride *= 2
+        return stride
+
     @nn.compact
     def __call__(self, x, train: bool = False, valid_h=None):
         # The raw input is zero below valid_h by construction (host pads

@@ -130,3 +130,21 @@ MODEL_FACTORIES: dict[str, Callable[..., SegmentationModel]] = {
     "fcn_efficientnet": fcn_efficientnet,
     "deeplabv3_efficientnet": deeplabv3_efficientnet,
 }
+
+# Variant-bound names ("fcn_efficientnet_b0" ... "_b7") so CLIs / the
+# Experiment / the predict engine can select EfficientNet models without a
+# separate n argument (reference callers pass n positionally, models.py:104).
+import functools  # noqa: E402
+
+for _n in range(8):
+    MODEL_FACTORIES[f"fcn_efficientnet_b{_n}"] = functools.partial(
+        fcn_efficientnet, _n)
+    MODEL_FACTORIES[f"deeplabv3_efficientnet_b{_n}"] = functools.partial(
+        deeplabv3_efficientnet, _n)
+
+
+def efficientnet_variant_of(model_name: str) -> int | None:
+    """'fcn_efficientnet_b3' -> 3; None for non-EfficientNet names."""
+    if "_efficientnet_b" in model_name:
+        return int(model_name.rsplit("_b", 1)[1])
+    return None

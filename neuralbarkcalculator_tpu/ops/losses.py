@@ -36,7 +36,9 @@ def lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
 
 
 def _lovasz_softmax_flat(probas: jnp.ndarray, labels: jnp.ndarray,
-                         num_classes: int) -> jnp.ndarray:
+                         num_classes: int,
+                         pixel_weights: jnp.ndarray | None = None
+                         ) -> jnp.ndarray:
     """probas [P, C], labels [P] -> scalar. 'present'-classes mean with a
     static shape: every class term is computed, masked by presence.
 
@@ -47,16 +49,32 @@ def _lovasz_softmax_flat(probas: jnp.ndarray, labels: jnp.ndarray,
     backward graph is a single elementwise product. ~2.4x faster
     value+grad than differentiating through per-class argsort gathers
     (whose VJP is a scatter per class).
+
+    ``pixel_weights`` ([P] in {0,1}): masked-out pixels behave exactly as
+    if absent (the reference's ``ignore`` label, lovasz_losses.py:226-236,
+    expressed with static shapes): their errors and foreground indicators
+    are zeroed and they sort strictly after every valid pixel, so the
+    cumulative intersection/union prefixes at valid positions — the only
+    positions with nonzero error — match the unpadded computation.
     """
     p = probas.shape[0]
     fg = jax.nn.one_hot(labels, num_classes, dtype=probas.dtype,
                         axis=0)  # [C, P]
     errors = jnp.abs(fg - probas.T)  # [C, P]
+    if pixel_weights is not None:
+        w = pixel_weights.astype(probas.dtype)
+        fg = fg * w
+        errors = errors * w
+        # sort key: valid pixels by descending error (key -err <= 0),
+        # masked pixels strictly last (key 1 > 0)
+        sort_key = jnp.where(w > 0, -jax.lax.stop_gradient(errors), 1.0)
+    else:
+        sort_key = -jax.lax.stop_gradient(errors)
 
     iota = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32),
                             (num_classes, p))
     neg_sorted, fg_sorted, perm = jax.lax.sort(
-        (-jax.lax.stop_gradient(errors), fg, iota), dimension=1,
+        (sort_key, fg, iota), dimension=1,
         num_keys=1)
     grad = jax.vmap(lovasz_grad)(fg_sorted)  # [C, P], descending-error
     weights = jnp.zeros_like(errors).at[
@@ -70,18 +88,34 @@ def _lovasz_softmax_flat(probas: jnp.ndarray, labels: jnp.ndarray,
 
 def lovasz_softmax_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                         num_classes: int = NUM_CLASSES,
-                        per_image: bool = False) -> jnp.ndarray:
+                        per_image: bool = False,
+                        pixel_weights: jnp.ndarray | None = None
+                        ) -> jnp.ndarray:
     """LovaszSoftmax module parity (lovasz_losses.py:162-166 + 169-223;
     the reference default and actual usage is per_image=False; the
     per_image=True variant averages the flat loss over batch entries,
     lovasz_losses.py:180-184).
 
     logits: [..., H, W, C]; labels: [..., H, W] int (leading batch dim
-    required for per_image=True).
+    required for per_image=True); pixel_weights: optional {0,1} validity
+    mask broadcastable to labels' shape — masked pixels are excluded
+    exactly (reference ``ignore`` semantics).
     """
     probas = jax.nn.softmax(logits, axis=-1)
+    if pixel_weights is not None:
+        pixel_weights = jnp.broadcast_to(pixel_weights, labels.shape)
     if per_image:
         b = probas.shape[0]
+        if pixel_weights is not None:
+            per = jax.vmap(
+                lambda p, l, w: _lovasz_softmax_flat(
+                    p.reshape(-1, num_classes), l.reshape(-1),
+                    num_classes, w.reshape(-1)))(
+                probas.reshape(b, -1, num_classes), labels.reshape(b, -1),
+                pixel_weights.reshape(b, -1))
+            valid = (jnp.sum(pixel_weights.reshape(b, -1), axis=1)
+                     > 0).astype(per.dtype)
+            return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
         return jnp.mean(jax.vmap(
             lambda p, l: _lovasz_softmax_flat(
                 p.reshape(-1, num_classes), l.reshape(-1), num_classes))(
@@ -89,7 +123,9 @@ def lovasz_softmax_loss(logits: jnp.ndarray, labels: jnp.ndarray,
             labels.reshape(b, -1)))
     flat_p = probas.reshape(-1, num_classes)
     flat_l = labels.reshape(-1)
-    return _lovasz_softmax_flat(flat_p, flat_l, num_classes)
+    flat_w = (None if pixel_weights is None
+              else pixel_weights.reshape(-1))
+    return _lovasz_softmax_flat(flat_p, flat_l, num_classes, flat_w)
 
 
 def lovasz_hinge_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -117,12 +153,16 @@ def stable_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 
 def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
-                           weights: jnp.ndarray) -> jnp.ndarray:
+                           weights: jnp.ndarray,
+                           pixel_weights: jnp.ndarray | None = None
+                           ) -> jnp.ndarray:
     """CustomWeightedCrossEntropy parity (utils.py:151-165): each pixel's CE
     is weighted by ``weights[max(argmax(logit), label)]`` — the
     max-of-predicted-and-true class weight described in the reference README.
 
-    logits: [..., H, W, C]; labels: [..., H, W] int; weights: [C].
+    logits: [..., H, W, C]; labels: [..., H, W] int; weights: [C];
+    pixel_weights: optional {0,1} validity mask — masked pixels are
+    excluded from the mean exactly.
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     # one-hot contraction instead of take_along_axis: the gather's VJP is
@@ -131,16 +171,26 @@ def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
                                         dtype=logp.dtype), axis=-1)
     max_classes = jnp.maximum(jnp.argmax(logits, axis=-1), labels)
     w = weights[max_classes]
+    if pixel_weights is not None:
+        pw = jnp.broadcast_to(pixel_weights, labels.shape).astype(ce.dtype)
+        return jnp.sum(ce * w * pw) / jnp.maximum(jnp.sum(pw), 1.0)
     return jnp.mean(ce * w)
 
 
 def jaccard_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                  eps: float = 1e-7,
-                 num_classes: int = NUM_CLASSES) -> jnp.ndarray:
+                 num_classes: int = NUM_CLASSES,
+                 pixel_weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """JaccardLoss parity (utils.py:168-182): soft IoU over (batch, spatial)
-    reduced dims, averaged over classes."""
+    reduced dims, averaged over classes. Optional {0,1} pixel_weights
+    exclude masked pixels from both intersection and cardinality."""
     probas = jax.nn.softmax(logits, axis=-1)
     one_hot = jax.nn.one_hot(labels, num_classes, dtype=probas.dtype)
+    if pixel_weights is not None:
+        pw = jnp.broadcast_to(pixel_weights,
+                              labels.shape).astype(probas.dtype)[..., None]
+        probas = probas * pw
+        one_hot = one_hot * pw
     reduce_axes = tuple(range(probas.ndim - 1))  # all but class dim
     intersection = jnp.sum(probas * one_hot, axis=reduce_axes)
     cardinality = jnp.sum(probas + one_hot, axis=reduce_axes)
@@ -149,7 +199,10 @@ def jaccard_loss(logits: jnp.ndarray, labels: jnp.ndarray,
 
 
 def mixed_loss(logits: jnp.ndarray, labels: jnp.ndarray,
-               cwe_weights: jnp.ndarray) -> jnp.ndarray:
+               cwe_weights: jnp.ndarray,
+               pixel_weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """MixedLoss parity (utils.py:185-192): CWE/4 + Lovász-Softmax."""
-    return (weighted_cross_entropy(logits, labels, cwe_weights) / 4.0
-            + lovasz_softmax_loss(logits, labels))
+    return (weighted_cross_entropy(logits, labels, cwe_weights,
+                                   pixel_weights=pixel_weights) / 4.0
+            + lovasz_softmax_loss(logits, labels,
+                                  pixel_weights=pixel_weights))

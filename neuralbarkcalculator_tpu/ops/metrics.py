@@ -26,15 +26,22 @@ from .ccl import remove_small_zones
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def confusion_matrix(preds: jnp.ndarray, labels: jnp.ndarray,
-                     num_classes: int = NUM_CLASSES) -> jnp.ndarray:
+                     num_classes: int = NUM_CLASSES,
+                     weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """[C, C] counts: rows = true class, cols = predicted class.
 
     Computed as a one-hot matmul — [C, P] @ [P, C] rides the MXU, whereas
     a scatter-add over P indices serializes on TPU. f32 accumulation is
     exact for counts < 2^24 (16.7M pixels per entry, far above any batch
     here); image-scale counts stay exact in int32 output.
+
+    ``weights`` ({0,1}, broadcastable to labels' shape): masked-out pixels
+    contribute nothing — used to make padded eval batches count-exact.
     """
     t = jax.nn.one_hot(labels.reshape(-1), num_classes, dtype=jnp.float32)
+    if weights is not None:
+        t = t * jnp.broadcast_to(
+            weights, labels.shape).reshape(-1, 1).astype(jnp.float32)
     p = jax.nn.one_hot(preds.reshape(-1), num_classes, dtype=jnp.float32)
     cm = jnp.einsum("pt,pc->tc", t, p,
                     preferred_element_type=jnp.float32,
@@ -97,17 +104,19 @@ def _absent_class_fixup(scores: jnp.ndarray, cm: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def pixelwise_f1(logits: jnp.ndarray, labels: jnp.ndarray,
                  num_classes: int = NUM_CLASSES,
-                 postprocess: bool = True) -> jnp.ndarray:
+                 postprocess: bool = True,
+                 weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """PixelWiseF1 parity (utils.py:211-226): argmax, remove_small_zones,
     per-class F1 with the absent-class fixup. Returns the raw [C] vector;
     reduce with ``.mean()`` for the scalar metric (class_to_watch=None) or
     ``1 - .mean()`` for 'loss' mode.
 
-    logits: [..., H, W, C]; labels: [..., H, W] int.
+    logits: [..., H, W, C]; labels: [..., H, W] int; weights: optional
+    {0,1} validity mask excluding padded pixels from the counts.
     """
     preds = jnp.argmax(logits, axis=-1)
     if postprocess:
         preds = remove_small_zones(
             preds if preds.ndim >= 2 else preds[None])
-    cm = confusion_matrix(preds, labels, num_classes)
+    cm = confusion_matrix(preds, labels, num_classes, weights=weights)
     return _absent_class_fixup(f1_from_confusion(cm), cm)

@@ -65,6 +65,18 @@ class NeuralBarkCalculator:
         self.variables = jax.device_put(variables, self.rules.replicated)
         self.mean = np.asarray(self.config.mean, np.float32)
         self.std = np.asarray(self.config.std, np.float32)
+        # EfficientNet backbones can't run masked ragged batches exactly
+        # (TF-SAME stride phase, models/efficientnet.py): fall back to
+        # exact-height bucketing — images grouped by their true trimmed
+        # height, one compiled program per distinct height. Slower to warm
+        # up on height-diverse folders, bit-exact always.
+        self._exact_heights = not getattr(self.model.backbone,
+                                          "supports_ragged", True)
+
+    def _bucket_of(self, h: int) -> int:
+        if self._exact_heights:
+            return h
+        return pad_to_multiple(h, self.config.height_bucket)
 
     # ------------------------------------------------------------- public
 
@@ -161,8 +173,7 @@ class NeuralBarkCalculator:
             if i in skip:
                 continue
             h = header_height(rec.sample_path)
-            buckets.setdefault(
-                pad_to_multiple(h, self.config.height_bucket), []).append(i)
+            buckets.setdefault(self._bucket_of(h), []).append(i)
         chunks = []
         bs = self.config.batch_size
         for pad_h in sorted(buckets):
@@ -239,9 +250,8 @@ class NeuralBarkCalculator:
 
         buckets: dict[int, list[int]] = {}
         for i, item in enumerate(images):
-            h = item.image.shape[0]
             buckets.setdefault(
-                pad_to_multiple(h, self.config.height_bucket), []).append(i)
+                self._bucket_of(item.image.shape[0]), []).append(i)
 
         def chunks():
             bs = self.config.batch_size
@@ -266,18 +276,31 @@ class NeuralBarkCalculator:
     def _launch_batch(self, items: list[ProcessedImage], pad_h: int):
         """Pad a bucket chunk to static shapes and dispatch the device
         step asynchronously. Returns (items, valid_h, device_future)."""
-        if pad_h % 8:
-            raise ValueError(
-                f"height bucket {pad_h} must be a multiple of 8 (the "
-                f"model's output stride); set PredictConfig.height_bucket "
-                f"accordingly")
         n = len(items)
         # round the batch up to a multiple of the data-axis size so the
         # batch dim shards evenly; surplus rows are dummies dropped below.
         n_pad = pad_to_multiple(n, self.rules.data_size)
         w = items[0].image.shape[1]
         batch = np.zeros((n_pad, pad_h, w, 3), np.uint8)
-        valid_h = np.ones((n_pad,), np.int32)
+        valid_h = np.full((n_pad,), pad_h, np.int32)
+
+        if self._exact_heights:
+            # every item in the bucket has exactly this height: no masks
+            # or embedded row operators needed, plain forward is exact
+            for i, item in enumerate(items):
+                assert item.image.shape[0] == pad_h
+                batch[i] = item.image
+            with stage_timer(f"predict/dispatch_h{pad_h}"):
+                fut = self._device_step(pad_h, n_pad, exact=True)(
+                    self.variables,
+                    jax.device_put(batch, self.rules.image_batch))
+            return items, valid_h, fut
+
+        if pad_h % 8:
+            raise ValueError(
+                f"height bucket {pad_h} must be a multiple of 8 (the "
+                f"model's output stride); set PredictConfig.height_bucket "
+                f"accordingly")
         row_ops = np.zeros((n_pad, pad_h, pad_h // 8), np.float32)
         for i, item in enumerate(items):
             h = item.image.shape[0]
@@ -322,16 +345,28 @@ class NeuralBarkCalculator:
         return cleaned
 
     @functools.lru_cache(maxsize=32)
-    def _device_step(self, pad_h: int, batch: int):
+    def _device_step(self, pad_h: int, batch: int, exact: bool = False):
         """Compile the normalize+forward+argmax step for one static
         (pad_h, batch) shape. With use_pallas (TPU backend), upsample and
         argmax fuse into one Pallas kernel that never materializes the
-        full-resolution float logits in HBM (ops/pallas_kernels.py)."""
+        full-resolution float logits in HBM (ops/pallas_kernels.py).
+
+        ``exact``: every image in the batch has true height pad_h (the
+        EfficientNet fallback path) — plain forward, no masks/row ops."""
         mean, std = jnp.asarray(self.mean), jnp.asarray(self.std)
         data_only = NamedSharding(self.rules.mesh, P(DATA_AXIS))
         use_pallas = (self.config.use_pallas
                       and jax.default_backend() == "tpu"
                       and self.rules.n_devices == 1)
+
+        if exact:
+            def exact_step(variables, batch_u8):
+                x = batch_u8.astype(jnp.float32) / 255.0
+                x = (x - mean) / std
+                logits = self.model.apply(variables, x, train=False)
+                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+            return jax.jit(exact_step, out_shardings=data_only)
 
         def step(variables, batch_u8, valid_h, row_ops):
             from ..models.resnet import apply_row_mask
@@ -379,7 +414,10 @@ def _load_variables(path: str, model_name: str) -> dict:
     head = "deeplab" if model_name.startswith("deeplab") else "fcn"
     if path.endswith(".pt") or path.endswith(".pth"):
         from ..models.convert import load_torch_checkpoint
-        return load_torch_checkpoint(path, head=head)
+        from ..models.segmentation import efficientnet_variant_of
+        return load_torch_checkpoint(
+            path, head=head,
+            efficientnet_variant=efficientnet_variant_of(model_name))
     if os.path.isdir(path):
         from ..train.checkpoint import restore_variables
         return restore_variables(path)

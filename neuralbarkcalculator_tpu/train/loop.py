@@ -162,6 +162,14 @@ class Experiment:
         variables = self.model.init(
             jax.random.PRNGKey(self.config.seed),
             jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+        if self.config.backbone_ckpt:
+            # reference pretrained=True parity: fine-tune from an ImageNet
+            # backbone (models.py:127-130 via __main__.py:231)
+            from ..models.convert import (load_backbone_checkpoint,
+                                          merge_backbone)
+            variables = merge_backbone(
+                variables,
+                load_backbone_checkpoint(self.config.backbone_ckpt))
         tx = adam(self.config.lr, self.config.weight_decay)
         self.state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"],
@@ -307,8 +315,9 @@ class Experiment:
                  variables: dict | None = None) -> dict:
         """Poutyne-style evaluation: per-batch metrics averaged weighted by
         batch size. Batches are padded to a data-axis multiple with repeats
-        of the last sample, and the padded entries are excluded from the
-        weighted average by scaling the batch weight."""
+        of the last sample; padded entries are excluded EXACTLY inside the
+        eval step (pixel-validity weights on loss + confusion counts), so
+        results are identical across any mesh/batch-size layout."""
         variables = variables or self.variables
         sums: dict[str, float] = {}
         count = 0
@@ -316,13 +325,14 @@ class Experiment:
         for start in range(0, len(split), batch_size):
             idx = np.asarray(split[start:start + batch_size])
             b = len(idx)
+            valid = np.ones(len(idx), np.float32)
             if b % d:
-                idx = np.concatenate(
-                    [idx, np.repeat(idx[-1:], d - b % d)])
+                pad = d - b % d
+                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
             imgs, labs, didx = self._step_inputs(idx)
-            out = self._eval_step(variables, imgs, labs, didx)
-            # padded repeats bias per-batch metrics by at most
-            # (d-1)/batch; reference parity holds when batch % d == 0.
+            out = self._eval_step(variables, imgs, labs, didx,
+                                  jnp.asarray(valid))
             for k, v in out.items():
                 v = np.asarray(v)
                 if v.ndim == 0:

@@ -31,17 +31,25 @@ class TrainState(train_state.TrainState):
 
 
 def make_loss_fn(name: str) -> Callable:
-    """Loss menu parity (reference loss classes, SURVEY.md C7)."""
+    """Loss menu parity (reference loss classes, SURVEY.md C7). Every loss
+    accepts ``pixel_weights=None`` ({0,1} validity mask) for exact padded
+    evaluation."""
     weights = jnp.asarray(CLASS_WEIGHTS, jnp.float32)
     if name == "lovasz":  # the loss actually used (__main__.py:239)
-        return lambda logits, labels: L.lovasz_softmax_loss(logits, labels)
+        return lambda logits, labels, pixel_weights=None: \
+            L.lovasz_softmax_loss(logits, labels,
+                                  pixel_weights=pixel_weights)
     if name == "cwe":
-        return lambda logits, labels: L.weighted_cross_entropy(
-            logits, labels, weights)
+        return lambda logits, labels, pixel_weights=None: \
+            L.weighted_cross_entropy(logits, labels, weights,
+                                     pixel_weights=pixel_weights)
     if name == "mixed":
-        return lambda logits, labels: L.mixed_loss(logits, labels, weights)
+        return lambda logits, labels, pixel_weights=None: \
+            L.mixed_loss(logits, labels, weights,
+                         pixel_weights=pixel_weights)
     if name == "jaccard":
-        return lambda logits, labels: L.jaccard_loss(logits, labels)
+        return lambda logits, labels, pixel_weights=None: \
+            L.jaccard_loss(logits, labels, pixel_weights=pixel_weights)
     raise ValueError(f"unknown loss {name!r}")
 
 
@@ -104,23 +112,34 @@ def make_eval_step(model, rules: ShardingRules, loss_name: str = "lovasz",
     """Validation/test step over the HBM-resident dataset: gather by idx,
     normalize, forward (eval mode), loss + per-batch metrics (Poutyne
     averages metrics per batch, weighted by batch size — the host loop
-    reproduces that; reference lovasz_losses.py:54-77, utils.py:211)."""
+    reproduces that; reference lovasz_losses.py:54-77, utils.py:211).
+
+    ``valid`` ([B] {0,1}) marks real samples: batches are padded with
+    repeats to a data-axis multiple, and padded entries are excluded
+    EXACTLY from loss and metrics via pixel-validity weights, so eval
+    results are identical for any mesh/batch combination (the padded
+    samples still flow through the forward — their logits are simply
+    never counted).
+    """
     loss_fn = make_loss_fn(loss_name)
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
 
-    def step(variables, images_u8, labels_u8, idx):
+    def step(variables, images_u8, labels_u8, idx, valid):
         imgs = (images_u8[idx].astype(jnp.float32) / 255.0 - mean) / std
         labs = labels_u8[idx].astype(jnp.int32)
+        pw = valid.astype(jnp.float32)[:, None, None]  # [B,1,1] pixel mask
         logits = model.apply(variables, imgs, train=False)
-        cm = confusion_matrix(jnp.argmax(logits, -1), labs, NUM_CLASSES)
-        out = {"loss": loss_fn(logits, labs),
+        cm = confusion_matrix(jnp.argmax(logits, -1), labs, NUM_CLASSES,
+                              weights=pw)
+        out = {"loss": loss_fn(logits, labs, pixel_weights=pw),
                "miou": jnp.mean(iou_from_confusion(cm)),
                "iou_per_class": iou_from_confusion(cm)}
         if compute_f1:
-            out["f1_per_class"] = pixelwise_f1(logits, labs)
+            out["f1_per_class"] = pixelwise_f1(logits, labs, weights=pw)
             out["f1"] = jnp.mean(out["f1_per_class"])
         return out
 
     return jax.jit(step, in_shardings=(
-        rules.replicated, rules.replicated, rules.replicated, rules.batch))
+        rules.replicated, rules.replicated, rules.replicated, rules.batch,
+        rules.batch))

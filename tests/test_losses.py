@@ -159,3 +159,34 @@ def test_lovasz_per_image_variant():
     # and differs (in general) from the flattened-batch default
     flat = float(lovasz_softmax_loss(logits, labels))
     assert abs(got - flat) > 1e-8
+
+
+def test_masked_losses_equal_unpadded(rng):
+    """pixel_weights parity: losses over a batch padded with garbage
+    samples + a zero validity mask must equal the unpadded computation
+    (the exact-padded-evaluation contract, train/step.make_eval_step)."""
+    logits = rng.normal(size=(3, 8, 8, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(3, 8, 8))
+    pad_logits = np.concatenate(
+        [logits, rng.normal(size=(2, 8, 8, C)).astype(np.float32)])
+    pad_labels = np.concatenate(
+        [labels, rng.integers(0, C, size=(2, 8, 8))])
+    pw = np.array([1, 1, 1, 0, 0], np.float32)[:, None, None]
+    weights = np.array([0.4, 2.0, 93.0], np.float32)
+
+    for name, fn in [
+        ("lovasz", lambda lo, la, w: lovasz_softmax_loss(
+            lo, la, pixel_weights=w)),
+        ("lovasz_pi", lambda lo, la, w: lovasz_softmax_loss(
+            lo, la, per_image=True, pixel_weights=w)),
+        ("cwe", lambda lo, la, w: weighted_cross_entropy(
+            lo, la, weights, pixel_weights=w)),
+        ("jaccard", lambda lo, la, w: jaccard_loss(
+            lo, la, pixel_weights=w)),
+        ("mixed", lambda lo, la, w: mixed_loss(
+            lo, la, weights, pixel_weights=w)),
+    ]:
+        unpadded = float(fn(logits, labels, None))
+        masked = float(fn(pad_logits, pad_labels, pw))
+        np.testing.assert_allclose(masked, unpadded, rtol=1e-5, atol=1e-6,
+                                   err_msg=name)

@@ -107,3 +107,76 @@ def test_roundtrip_conversion(torch_model):
     assert set(back) == set(sd)
     for k in sd:
         np.testing.assert_array_equal(back[k], sd[k].numpy())
+
+
+def test_imagenet_backbone_conversion(torch_model, tmp_path):
+    """ImageNet fine-tuning path (reference pretrained=True,
+    models.py:127-130): a *bare* torchvision-style resnet50 state_dict
+    (no 'backbone.' prefix, with the ImageNet fc head) converts and the
+    resulting backbone features match torch to f32 rounding."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralbarkcalculator_tpu.models.convert import (
+        load_backbone_checkpoint, merge_backbone,
+        torchvision_resnet_to_backbone)
+
+    bare = dict(torch_model.backbone.state_dict())
+    bare["fc.weight"] = torch.randn(1000, 2048)  # dropped by conversion
+    bare["fc.bias"] = torch.randn(1000)
+    path = str(tmp_path / "resnet50_imagenet.pth")
+    torch.save(bare, path)
+
+    model = fcn_resnet50()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    merged = merge_backbone(variables, load_backbone_checkpoint(path))
+
+    x = np.random.default_rng(5).normal(
+        size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = torch_model.backbone(torch.from_numpy(x))["out"].numpy()
+    got = model.backbone.apply(
+        {"params": merged["params"]["backbone"],
+         "batch_stats": merged["batch_stats"]["backbone"]},
+        x.transpose(0, 2, 3, 1), train=False)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+    # head params untouched (still the fresh init)
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["classifier"]["conv1"]["kernel"]),
+        np.asarray(merged["params"]["classifier"]["conv1"]["kernel"]))
+
+    # .npz round (no-torch environments) must convert identically
+    npz = str(tmp_path / "resnet50_imagenet.npz")
+    np.savez(npz, **{k: v.numpy() for k, v in bare.items()})
+    from_npz = load_backbone_checkpoint(npz)
+    direct = torchvision_resnet_to_backbone(
+        {k: v.numpy() for k, v in bare.items()})
+    for col in ("params", "batch_stats"):
+        a = jax.tree_util.tree_leaves(from_npz[col])
+        b = jax.tree_util.tree_leaves(direct[col])
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_backbone_shape_mismatch_raises(torch_model, tmp_path):
+    """A wrong-architecture backbone checkpoint must fail loudly at merge
+    time, not at train time."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralbarkcalculator_tpu.models.convert import (
+        merge_backbone, torchvision_resnet_to_backbone)
+
+    bare = {k: v.numpy() for k, v in
+            torch_model.backbone.state_dict().items()}
+    bare["conv1.weight"] = bare["conv1.weight"][:, :1]  # corrupt shape
+    converted = torchvision_resnet_to_backbone(bare)
+
+    model = fcn_resnet50()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        merge_backbone(variables, converted)

@@ -289,3 +289,62 @@ def test_experiment_with_deeplab_model(data_root, tmp_path):
                      model_name="deeplabv3_resnet50")
     history = exp.train(epochs=1)
     assert np.isfinite(history[0].loss)
+
+
+def test_evaluate_exact_across_meshes(data_root, tmp_path):
+    """Padded eval batches must not bias metrics: evaluate() returns
+    identical results on a (1,1) and a (4,1) mesh for a split size
+    coprime to the batch size (last batch = 3 real samples, padded by 1
+    on the 4-device mesh; padding is masked out inside the eval step)."""
+    from neuralbarkcalculator_tpu.config import TrainConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.train.loop import Experiment
+
+    config = TrainConfig(seed=11, crop_size=32, batch_size=4, epochs=1,
+                         samples_per_epoch_factor=1, pad_resize_size=64,
+                         dropout=0.1)
+    exp1 = Experiment(data_root, str(tmp_path / "a"), config=config,
+                      mesh=make_mesh(n_data=1))
+    exp4 = Experiment(data_root, str(tmp_path / "b"), config=config,
+                      mesh=make_mesh(n_data=4))
+    split = exp1.train_split[:7]  # same split: same seed on both
+    np.testing.assert_array_equal(split, exp4.train_split[:7])
+    m1 = exp1.evaluate(split, batch_size=4)
+    m4 = exp4.evaluate(split, batch_size=4)
+    for k in ("loss", "miou", "f1"):
+        np.testing.assert_allclose(m1[k], m4[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+
+
+def test_experiment_starts_from_backbone_ckpt(data_root, tmp_path):
+    """TrainConfig.backbone_ckpt: the Experiment's initial backbone params
+    are the converted ImageNet weights (reference pretrained=True,
+    __main__.py:231), while the head stays freshly initialized."""
+    torch = pytest.importorskip("torch")
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from torch_ref import fcn_resnet50_torch
+
+    from neuralbarkcalculator_tpu.config import TrainConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.train.loop import Experiment
+
+    torch.manual_seed(3)
+    replica = fcn_resnet50_torch()
+    bare = dict(replica.backbone.state_dict())
+    path = str(tmp_path / "imagenet_resnet50.pth")
+    torch.save(bare, path)
+
+    config = TrainConfig(seed=5, crop_size=32, batch_size=4, epochs=1,
+                         samples_per_epoch_factor=1, pad_resize_size=64,
+                         dropout=0.1, backbone_ckpt=path)
+    exp = Experiment(data_root, str(tmp_path / "ck"), config=config,
+                     mesh=make_mesh(n_data=2))
+    got = np.asarray(
+        exp.state.params["backbone"]["conv1"]["kernel"])
+    want = bare["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
+    # and it trains from there
+    history = exp.train(epochs=1)
+    assert np.isfinite(history[0].loss)

@@ -87,6 +87,16 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--images", type=int, default=3)
     parser.add_argument("--dpi", type=int, default=100)
+    parser.add_argument("--content", choices=["structured", "noise"],
+                        default="structured",
+                        help="structured = bench_data log imagery (the "
+                             "bench.py protocol); noise = the round-1 "
+                             "uniform-noise protocol")
+    parser.add_argument("--ckpt", default=None,
+                        help="torchvision-named .pt to load (use "
+                             "make_bench_model.py --torch so both sides "
+                             "run the same trained weights); default: "
+                             "random init")
     args = parser.parse_args()
 
     import torch
@@ -95,7 +105,15 @@ def main() -> None:
 
     torch.set_num_threads(multiprocessing.cpu_count())  # predict.py:78-79
     model = fcn_resnet50_torch()
+    if args.ckpt:
+        model.load_state_dict(torch.load(args.ckpt, map_location="cpu"))
     model.eval()
+
+    def make_image(rng, h):
+        if args.content == "structured":
+            from bench_data import structured_dual_mask, structured_image
+            return structured_image(rng, structured_dual_mask(rng, h, 1024))
+        return (rng.random((h, 1024, 3)) * 120 + 90).astype(np.uint8)
 
     rng = np.random.default_rng(0)
     outdir = tempfile.mkdtemp(prefix="ref_baseline_")
@@ -103,7 +121,7 @@ def main() -> None:
     times = []
     for i in range(args.images + 1):  # +1 cold image, discarded
         h = heights[i % len(heights)]
-        img = (rng.random((h, 1024, 3)) * 120 + 90).astype(np.uint8)
+        img = make_image(rng, h)
         t0 = time.time()
         x = (img.astype(np.float32) / 255.0 - MEAN) / STD
         with torch.no_grad():
@@ -123,6 +141,9 @@ def main() -> None:
         "dpi": args.dpi,
         "host_cpus": multiprocessing.cpu_count(),
         "torch_threads": torch.get_num_threads(),
+        "content": args.content,
+        "weights": ("trained bench model (" + args.ckpt + ")"
+                    if args.ckpt else "random init"),
         "protocol": "sequential batch_size=1 predict loop "
                     "(models.py:247-364): normalize, fcn_resnet50 forward, "
                     "argmax, remove_small_zones, combined figure + dual "
