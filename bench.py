@@ -120,7 +120,7 @@ def make_checkpoint(path: str) -> None:
         with open(path, "wb") as f:
             f.write(flax.serialization.to_bytes(variables))
         return
-    from make_bench_model import ensure_bench_model
+    from make_bench_model import ensure_bench_model, stats_path
 
     cached = ensure_bench_model(
         os.environ.get("NEURALBARK_BENCH_MODEL",
@@ -129,6 +129,20 @@ def make_checkpoint(path: str) -> None:
                                     "bench_model.msgpack")))
     import shutil
     shutil.copyfile(cached, path)
+    if os.path.isfile(stats_path(cached)):
+        shutil.copyfile(stats_path(cached), stats_path(path))
+
+
+def model_norm_stats(ckpt: str):
+    """(mean, std) the checkpoint was trained with, or None (random-init
+    fallback keeps the reference constants)."""
+    from make_bench_model import stats_path
+
+    if os.path.isfile(stats_path(ckpt)):
+        with open(stats_path(ckpt)) as f:
+            stats = json.load(f)
+        return stats["mean"], stats["std"]
+    return None
 
 
 def _timed_pass(calc, root: str) -> float:
@@ -156,6 +170,9 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     config = PredictConfig(model_path=ckpt, figure_dpi=DPI,
                            batch_size=batch)
+    stats = model_norm_stats(ckpt)
+    if stats is not None:
+        config.mean, config.std = stats
     calc = NeuralBarkCalculator(ckpt, config=config)
 
     # warmup pass: compiles every bucket step and warms transfer shapes

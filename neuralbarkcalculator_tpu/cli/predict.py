@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "exist (resumable folder runs)")
     parser.add_argument("--profile", action="store_true", default=False,
                         help="print per-stage wall-time report at the end")
+    parser.add_argument("--preprocess_backend", type=str, default="auto",
+                        choices=["auto", "device", "host"],
+                        help="resize/trim on device (MXU matmuls) or host "
+                             "(scipy-IIR spline, same math); auto measures "
+                             "host->device bandwidth once and picks")
     parser.add_argument("--watch", type=float, default=None, metavar="SECS",
                         help="serving mode: re-scan ROOT every SECS "
                              "seconds, preprocessing and predicting only "
@@ -95,8 +100,9 @@ def main(args: argparse.Namespace) -> None:
     def run_once(resume: bool) -> None:
         nonlocal model
         generate_folders(args.root_path, args.only_preprocess)
-        images = Preprocessor().preprocess_images(args.root_path,
-                                                  resume=resume)
+        images = Preprocessor(
+            backend=args.preprocess_backend).preprocess_images(
+            args.root_path, resume=resume)
         if args.only_preprocess:
             return
         if model is None:

@@ -163,6 +163,52 @@ def augment_batch(key: jax.Array, imgs: jnp.ndarray, labs: jnp.ndarray,
                                      mean, std))(keys, imgs, labs)
 
 
+def _gather_augment_one(key: jax.Array, idx: jnp.ndarray,
+                        images_u8: jnp.ndarray, labels_u8: jnp.ndarray,
+                        crop: int, brightness: float, saturation: float,
+                        mean: jnp.ndarray, std: jnp.ndarray):
+    """One sample of gather_augment_batch (vmapped over key/idx)."""
+    kj, kc, kf = jax.random.split(key, 3)
+    h, w = images_u8.shape[1], images_u8.shape[2]
+    ki_, kj_ = jax.random.split(kc)
+    oy = jax.random.randint(ki_, (), 0, h - crop + 1)
+    ox = jax.random.randint(kj_, (), 0, w - crop + 1)
+    img = jax.lax.dynamic_slice(
+        images_u8, (idx, oy, ox, 0),
+        (1, crop, crop, images_u8.shape[3]))[0]
+    lab = jax.lax.dynamic_slice(labels_u8, (idx, oy, ox),
+                                (1, crop, crop))[0]
+    img = img.astype(jnp.float32) / 255.0
+    lab = lab.astype(jnp.int32)
+    img = color_jitter(kj, img, brightness, saturation)
+    img, lab = paired_flips(kf, img, lab)
+    img = (img - mean) / std  # input-only Normalize (__main__.py:157)
+    return img, lab
+
+
+@functools.partial(jax.jit, static_argnums=(4,),
+                   static_argnames=("brightness", "saturation"))
+def gather_augment_batch(key: jax.Array, images_u8: jnp.ndarray,
+                         labels_u8: jnp.ndarray, idx: jnp.ndarray,
+                         crop: int, mean: jnp.ndarray, std: jnp.ndarray,
+                         brightness: float = 0.1,
+                         saturation: float = 0.2):
+    """Fused dataset-gather + paired augmentation: slices each sample's
+    random crop window *directly out of the HBM-resident uint8 dataset*
+    (one batched dynamic-slice gather) instead of materializing full
+    [B, H, W, 3] images and jittering them before cropping. The pointwise
+    color jitter commutes with cropping, so jitter-after-crop is exactly
+    the reference distribution (__main__.py:155-166) at a quarter of the
+    HBM traffic for crop=H/2; per-sample key splitting matches
+    augment_batch (kj=jitter, kc=crop offsets, kf=flips).
+    """
+    keys = jax.random.split(key, idx.shape[0])
+    return jax.vmap(
+        lambda k, i: _gather_augment_one(k, i, images_u8, labels_u8, crop,
+                                         brightness, saturation, mean,
+                                         std))(keys, idx)
+
+
 def pad_to_biggest_image(samples: list[np.ndarray],
                          targets: list[np.ndarray]
                          ) -> tuple[np.ndarray, np.ndarray]:

@@ -71,11 +71,15 @@ def _lovasz_softmax_flat(probas: jnp.ndarray, labels: jnp.ndarray,
     else:
         sort_key = -jax.lax.stop_gradient(errors)
 
-    iota = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32),
-                            (num_classes, p))
-    neg_sorted, fg_sorted, perm = jax.lax.sort(
-        (sort_key, fg, iota), dimension=1,
-        num_keys=1)
+    # pack (index, fg) into one int32 payload — a 2-operand sort is ~20%
+    # cheaper than 3 operands on TPU, and the stable sort keeps the same
+    # tie order as sorting with iota (fg in {0,1} rides the low bit)
+    payload = (jnp.broadcast_to(
+        jnp.arange(p, dtype=jnp.int32)[None] * 2, (num_classes, p))
+        + fg.astype(jnp.int32))
+    _, packed = jax.lax.sort((sort_key, payload), dimension=1, num_keys=1)
+    fg_sorted = (packed & 1).astype(probas.dtype)
+    perm = packed >> 1
     grad = jax.vmap(lovasz_grad)(fg_sorted)  # [C, P], descending-error
     weights = jnp.zeros_like(errors).at[
         jnp.arange(num_classes)[:, None], perm].set(grad)

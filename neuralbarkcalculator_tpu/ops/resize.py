@@ -95,6 +95,56 @@ def bspline_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
     return np.ascontiguousarray(Rt.T)
 
 
+def _bspline_taps(in_size: int,
+                  out_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluation taps of the cubic B-spline resize: ([4, out] mirror
+    indices, [4, out] weights). Summing ``w_k * coef[idx_k]`` over k is
+    exactly ``S @ coef`` (the interpolation half of
+    bspline_resize_matrix)."""
+    scale = in_size / out_size
+    x = (np.arange(out_size) + 0.5) * scale - 0.5
+    base = np.floor(x).astype(np.int64)
+    idxs, ws = [], []
+    for k in range(-1, 3):
+        idxs.append(_mirror_index(base + k, in_size))
+        ws.append(_bspline3(x - (base + k)).astype(np.float32))
+    return np.stack(idxs), np.stack(ws)
+
+
+def spline_resize_host(img: np.ndarray, out_h: int,
+                       out_w: int) -> np.ndarray:
+    """skimage-parity cubic resize on the *host*: scipy's O(n) IIR spline
+    prefilter + 4-tap B-spline evaluation — the tunnel-avoiding twin of
+    ``spline_resize`` for environments where host<->device bandwidth, not
+    compute, bounds preprocessing (pipeline/preprocess.py picks the
+    backend). Same math as the device operator (S @ B^{-1}), evaluated in
+    float32 like the reference's own path (models.py:192-198 resizes the
+    float32 tensor->numpy image).
+
+    img: [H, W, C] or [H, W] float; returns float32 clipped to the input
+    range (skimage clip=True default).
+    """
+    from scipy.ndimage import spline_filter1d
+
+    img = np.ascontiguousarray(img, dtype=np.float32)
+    lo, hi = float(img.min()), float(img.max())
+    coef = spline_filter1d(img, order=3, axis=0, mode="mirror",
+                           output=np.float32)
+    coef = spline_filter1d(coef, order=3, axis=1, mode="mirror",
+                           output=np.float32)
+    trail = (1,) * (img.ndim - 1)
+    ridx, rw = _bspline_taps(img.shape[0], out_h)
+    out = rw[0].reshape(-1, *trail) * coef[ridx[0]]
+    for k in range(1, 4):
+        out += rw[k].reshape(-1, *trail) * coef[ridx[k]]
+    cidx, cw = _bspline_taps(img.shape[1], out_w)
+    trail = (1,) * (img.ndim - 2)
+    out2 = cw[0].reshape(1, -1, *trail) * out[:, cidx[0]]
+    for k in range(1, 4):
+        out2 += cw[k].reshape(1, -1, *trail) * out[:, cidx[k]]
+    return np.clip(out2, lo, hi)
+
+
 def _keys_cubic(s: np.ndarray, a: float) -> np.ndarray:
     """Keys cubic convolution kernel W(s) with parameter a."""
     s = np.abs(s)

@@ -30,11 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import PREPROCESS_TARGET_SIZE
+from ..config import (PREPROCESS_TARGET_SIZE, TRIM_PIXEL_THRESHOLD,
+                      TRIM_ROW_FRACTION)
 from ..data.dataset import make_dataset
 from ..io.native import (load_image_u8_fast as load_image_u8,
                          save_image_u8_fast as save_image_u8)
-from ..ops.resize import spline_resize
+from ..ops.resize import spline_resize, spline_resize_host
 from ..ops.trim import trim_bounds_batch
 
 
@@ -59,14 +60,60 @@ def _preprocess_batch(batch_u8: jnp.ndarray, target: int, do_resize: bool):
     return out_u8, first, last
 
 
+def measure_transfer_bandwidth(nbytes: int = 8 << 20) -> float:
+    """Host->device throughput in bytes/s (best of 2; the first transfer
+    warms the path). Used to pick the preprocess backend."""
+    import time
+
+    import jax
+
+    a = np.zeros((nbytes,), np.uint8)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        jax.block_until_ready(jax.device_put(a))
+        best = min(best, time.time() - t0)
+    return nbytes / max(best, 1e-9)
+
+
 class Preprocessor:
-    """Reference Preprocessor parity (models.py:169-203), folder-batched."""
+    """Reference Preprocessor parity (models.py:169-203), folder-batched.
+
+    ``backend``:
+    - 'device' — uint8 upload + MXU-matmul resize + device trim bounds
+      (the default on a co-located host, where transfers cost ~ms);
+    - 'host' — scipy-IIR + 4-tap B-spline resize (ops/resize.py:
+      spline_resize_host, same math) entirely host-side. A 4096^2 BMP is
+      48 MB; when host->device bandwidth is tunnel-bound, shipping it
+      costs more than resizing it locally;
+    - 'auto' — measure the transfer bandwidth once and pick (threshold
+      150 MB/s; a co-located host does GB/s, the dev tunnel ~24 MB/s).
+    The NEURALBARK_PREPROCESS env var ('host'/'device') overrides all.
+    """
 
     def __init__(self, target_size: int = PREPROCESS_TARGET_SIZE,
-                 batch_size: int = 4, io_workers: int = 8):
+                 batch_size: int = 4, io_workers: int = 8,
+                 backend: str = "auto"):
         self.target_size = target_size
         self.batch_size = batch_size
         self.io_workers = io_workers
+        if backend not in ("auto", "device", "host"):
+            raise ValueError(f"unknown preprocess backend {backend!r}")
+        self.backend = backend
+        self._resolved_backend: str | None = None
+
+    def _resolve_backend(self) -> str:
+        if self._resolved_backend is None:
+            env = os.environ.get("NEURALBARK_PREPROCESS")
+            if env in ("host", "device"):
+                self._resolved_backend = env
+            elif self.backend != "auto":
+                self._resolved_backend = self.backend
+            else:
+                bw = measure_transfer_bandwidth()
+                self._resolved_backend = (
+                    "host" if bw < 150e6 else "device")
+        return self._resolved_backend
 
     def preprocess_images(self, root_path: str,
                           save: bool = True,
@@ -91,6 +138,28 @@ class Preprocessor:
             if not records:
                 return []
         results: list[ProcessedImage | None] = [None] * len(records)
+
+        if self._resolve_backend() == "host":
+            with ThreadPoolExecutor(max_workers=self.io_workers) as pool:
+                decoded = pool.map(
+                    lambda r: load_image_u8(r.sample_path), records)
+                iterator = zip(enumerate(records), decoded)
+                if progress:
+                    iterator = _tqdm(iterator, total=len(records),
+                                     desc="Preprocessing images")
+                save_futures = []
+                for (idx, rec), img in iterator:
+                    processed = self._preprocess_host_one(img)
+                    results[idx] = ProcessedImage(processed, rec.fname,
+                                                  rec.wood_type)
+                    if save:
+                        path = os.path.join(output_dir, "samples",
+                                            rec.wood_type, rec.fname)
+                        save_futures.append(
+                            pool.submit(save_image_u8, path, processed))
+                for fut in save_futures:
+                    fut.result()
+            return results  # type: ignore[return-value]
 
         with ThreadPoolExecutor(max_workers=self.io_workers) as pool:
             decoded = pool.map(
@@ -128,6 +197,24 @@ class Preprocessor:
             for fut in save_futures:
                 fut.result()
         return results  # type: ignore[return-value]
+
+    def _preprocess_host_one(self, img: np.ndarray) -> np.ndarray:
+        """Host twin of _preprocess_batch + the ragged crop: resize
+        decision, spline resize, trim, uint8 quantization — identical
+        semantics (reference models.py:191-203)."""
+        h, w = img.shape[:2]
+        do_resize = max(h, w) > self.target_size
+        imgf = img.astype(np.float32) / 255.0
+        if do_resize:
+            imgf = spline_resize_host(imgf, self.target_size,
+                                      self.target_size)
+        if do_resize or h == w:  # "still square": trim (models.py:200)
+            nonblack = imgf.sum(axis=-1) > TRIM_PIXEL_THRESHOLD
+            keep = nonblack.mean(axis=-1) > TRIM_ROW_FRACTION
+            first = int(np.argmax(keep))  # all-False -> 0: no trim
+            last = len(keep) - int(np.argmax(keep[::-1]))
+            imgf = imgf[first:last]
+        return np.rint(np.clip(imgf, 0.0, 1.0) * 255.0).astype(np.uint8)
 
     def _launch_shape_batch(self, imgs: tuple[np.ndarray, ...]):
         """Dispatch transfer + device preprocess for same-shape images."""

@@ -20,7 +20,7 @@ from flax import struct
 from flax.training import train_state
 
 from ..config import CLASS_WEIGHTS, NUM_CLASSES
-from ..data.augment import augment_batch
+from ..data.augment import gather_augment_batch
 from ..ops import losses as L
 from ..ops.metrics import confusion_matrix, iou_from_confusion, pixelwise_f1
 from ..parallel.mesh import ShardingRules
@@ -69,11 +69,13 @@ def make_train_step(rules: ShardingRules, loss_name: str = "lovasz",
     std = jnp.asarray(std, jnp.float32)
 
     def step(state: TrainState, images_u8, labels_u8, idx, key):
-        imgs = images_u8[idx].astype(jnp.float32) / 255.0
-        labs = labels_u8[idx].astype(jnp.int32)
-        imgs, labs = augment_batch(key, imgs, labs, crop, mean, std,
-                                   brightness=brightness,
-                                   saturation=saturation)
+        # fused gather+augment: crop windows are sliced straight out of
+        # the uint8 dataset (no full-image materialization; jitter runs
+        # post-crop — pointwise, so distribution-identical)
+        imgs, labs = gather_augment_batch(key, images_u8, labels_u8, idx,
+                                          crop, mean, std,
+                                          brightness=brightness,
+                                          saturation=saturation)
 
         def compute_loss(params):
             logits, mutated = state.apply_fn(

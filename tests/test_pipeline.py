@@ -281,3 +281,36 @@ def test_preprocess_resume_incremental(root):
     assert [im.fname for im in second] == ["new.png"]
     assert os.path.isfile(os.path.join(root, "processed", "samples",
                                        "sapin", "new.png"))
+
+
+def test_preprocess_host_backend_matches_device(root):
+    """backend='host' (scipy-IIR spline + host trim, the tunnel-avoiding
+    path) must match the device pipeline: identical trim decisions and
+    u8 outputs equal up to 1 LSB of quantization on a vanishing fraction
+    of pixels (f32 IIR vs f64-operator matmul rounding)."""
+    from neuralbarkcalculator_tpu.pipeline.folders import generate_folders
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+
+    generate_folders(root, only_preprocess=True)
+    # target below the image sizes so the resize path runs too
+    dev = Preprocessor(target_size=96, backend="device").preprocess_images(
+        root, progress=False, save=False)
+    host = Preprocessor(target_size=96, backend="host").preprocess_images(
+        root, progress=False, save=False)
+    assert len(dev) == len(host) and len(dev) == 3
+    for d, h in zip(dev, host):
+        assert d.fname == h.fname
+        assert d.image.shape == h.image.shape  # same trim decisions
+        diff = np.abs(d.image.astype(np.int16) - h.image.astype(np.int16))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+
+
+def test_preprocess_backend_env_override(root, monkeypatch):
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+
+    monkeypatch.setenv("NEURALBARK_PREPROCESS", "host")
+    p = Preprocessor(backend="auto")
+    assert p._resolve_backend() == "host"
+    monkeypatch.setenv("NEURALBARK_PREPROCESS", "device")
+    assert Preprocessor(backend="auto")._resolve_backend() == "device"

@@ -91,7 +91,18 @@ def train_bench_model(out_path: str, epochs: int = 4) -> str:
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "wb") as f:
             f.write(flax.serialization.to_bytes(exp.variables))
+        # inference must normalize with the TRAINING stats, not the
+        # reference wood constants (config.DEFAULT_MEAN/STD) — the
+        # synthetic palette is different
+        import json
+        with open(stats_path(out_path), "w") as f:
+            json.dump({"mean": exp.mean, "std": exp.std,
+                       "train_miou": miou}, f)
     return out_path
+
+
+def stats_path(msgpack_path: str) -> str:
+    return msgpack_path + ".stats.json"
 
 
 def ensure_bench_model(path: str = DEFAULT_CACHE) -> str:

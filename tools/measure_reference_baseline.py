@@ -97,7 +97,18 @@ def main() -> None:
                              "make_bench_model.py --torch so both sides "
                              "run the same trained weights); default: "
                              "random init")
+    parser.add_argument("--stats", default=None,
+                        help="JSON with the checkpoint's training "
+                             "mean/std (make_bench_model sidecar); "
+                             "default: the reference constants")
     args = parser.parse_args()
+
+    global MEAN, STD
+    if args.stats:
+        with open(args.stats) as f:
+            stats = json.load(f)
+        MEAN = np.asarray(stats["mean"], np.float32)
+        STD = np.asarray(stats["std"], np.float32)
 
     import torch
 
