@@ -46,7 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "the reference's pretrained=True "
                              "(models.py:127-130)")
     parser.add_argument("--loss", type=str, default="lovasz",
-                        choices=["lovasz", "cwe", "mixed", "jaccard"])
+                        choices=["lovasz", "lovasz_hist", "cwe", "mixed",
+                                 "jaccard"],
+                        help="lovasz = exact sort (reference parity); "
+                             "lovasz_hist = sort-free histogram TPU fast "
+                             "path (~5x cheaper loss, tie-averaged "
+                             "subgradient)")
     parser.add_argument("--monitor", type=str, default=None,
                         help="val_miou (code default, __main__.py:241) or "
                              "val_f1 (README-described selection)")

@@ -86,8 +86,11 @@ class Preprocessor:
       spline_resize_host, same math) entirely host-side. A 4096^2 BMP is
       48 MB; when host->device bandwidth is tunnel-bound, shipping it
       costs more than resizing it locally;
-    - 'auto' — measure the transfer bandwidth once and pick (threshold
-      150 MB/s; a co-located host does GB/s, the dev tunnel ~24 MB/s).
+    - 'auto' — calibrate once (measured transfer bandwidth + a small
+      host-resize probe scaled by the core count available to the IO
+      pool) and pick the cheaper predicted path. A co-located host
+      (GB/s links) always picks 'device'; 'host' wins only when the
+      link is slow AND the host has cores to spare.
     The NEURALBARK_PREPROCESS env var ('host'/'device') overrides all.
     """
 
@@ -110,10 +113,31 @@ class Preprocessor:
             elif self.backend != "auto":
                 self._resolved_backend = self.backend
             else:
-                bw = measure_transfer_bandwidth()
-                self._resolved_backend = (
-                    "host" if bw < 150e6 else "device")
+                self._resolved_backend = self._calibrate_backend()
         return self._resolved_backend
+
+    def _calibrate_backend(self, src: int = 4096) -> str:
+        """Predict per-image cost of each path and pick the cheaper.
+
+        device ≈ upload of the uint8 source over the measured link (the
+        MXU resize itself is ~ms); host ≈ a 1/16-scale resize probe
+        scaled to the source size, divided by the cores the IO thread
+        pool can actually use (scipy/numpy release the GIL).
+        """
+        import time
+
+        bw = measure_transfer_bandwidth()
+        device_s = (src * src * 3) / bw + 0.1  # + dispatch/pull overhead
+
+        probe_src = src // 4
+        probe = (np.random.default_rng(0).random(
+            (probe_src, probe_src, 3)) * 255).astype(np.float32)
+        t0 = time.perf_counter()
+        spline_resize_host(probe, probe_src // 4, probe_src // 4)
+        probe_s = time.perf_counter() - t0
+        cores = max(1, min(self.io_workers, os.cpu_count() or 1))
+        host_s = probe_s * 16 / cores
+        return "host" if host_s < device_s else "device"
 
     def preprocess_images(self, root_path: str,
                           save: bool = True,
@@ -140,16 +164,32 @@ class Preprocessor:
         results: list[ProcessedImage | None] = [None] * len(records)
 
         if self._resolve_backend() == "host":
+            # decode+resize+trim run per image on the thread pool
+            # (scipy/numpy release the GIL, so compute parallelizes on
+            # multi-core hosts); a bounded submission window keeps at
+            # most ~2x workers of decoded 4096^2 sources in memory.
             with ThreadPoolExecutor(max_workers=self.io_workers) as pool:
-                decoded = pool.map(
-                    lambda r: load_image_u8(r.sample_path), records)
-                iterator = zip(enumerate(records), decoded)
+                def process(rec):
+                    return self._preprocess_host_one(
+                        load_image_u8(rec.sample_path))
+
+                # window sized by actual cores: oversubscribing a small
+                # host just thrashes memory with decoded 48 MB sources
+                window = max(2, 2 * min(self.io_workers,
+                                        os.cpu_count() or 1))
+                futures: deque = deque(
+                    pool.submit(process, rec)
+                    for rec in records[:window])
+                iterator = enumerate(records)
                 if progress:
                     iterator = _tqdm(iterator, total=len(records),
                                      desc="Preprocessing images")
                 save_futures = []
-                for (idx, rec), img in iterator:
-                    processed = self._preprocess_host_one(img)
+                for idx, rec in iterator:
+                    processed = futures.popleft().result()
+                    if idx + window < len(records):
+                        futures.append(
+                            pool.submit(process, records[idx + window]))
                     results[idx] = ProcessedImage(processed, rec.fname,
                                                   rec.wood_type)
                     if save:

@@ -39,6 +39,14 @@ def make_loss_fn(name: str) -> Callable:
         return lambda logits, labels, pixel_weights=None: \
             L.lovasz_softmax_loss(logits, labels,
                                   pixel_weights=pixel_weights)
+    if name == "lovasz_hist":
+        # TPU fast path: sort-free histogram formulation (quantized sort
+        # keys, tie-averaged subgradient — ops/losses.py). Loss value is
+        # ~exact; use when the exact sort's cost matters more than
+        # bit-parity with the reference.
+        return lambda logits, labels, pixel_weights=None: \
+            L.lovasz_softmax_loss(logits, labels,
+                                  pixel_weights=pixel_weights, bins=1024)
     if name == "cwe":
         return lambda logits, labels, pixel_weights=None: \
             L.weighted_cross_entropy(logits, labels, weights,

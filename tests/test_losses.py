@@ -190,3 +190,65 @@ def test_masked_losses_equal_unpadded(rng):
         masked = float(fn(pad_logits, pad_labels, pw))
         np.testing.assert_allclose(masked, unpadded, rtol=1e-5, atol=1e-6,
                                    err_msg=name)
+
+
+def test_lovasz_hist_exact_on_quantized_errors(rng):
+    """bins=K histogram Lovász == exact Lovász when every error is a
+    distinct multiple of 1/K (quantization is then lossless and every
+    tie block is a singleton)."""
+    import jax.numpy as jnp
+    K = 64
+    P, C = 24, 3
+    # craft probas whose per-class errors are distinct multiples of 1/K:
+    # labels all class 0, probas rows built from distinct error levels
+    labels = np.zeros(P, np.int64)
+    e0 = (rng.permutation(np.arange(2, 2 + P)) / K)  # distinct, in (0,1)
+    probas = np.zeros((P, C), np.float32)
+    probas[:, 0] = 1.0 - e0
+    probas[:, 1] = e0  # class-1 errors = e0 too (distinct)
+    probas[:, 2] = 0.0
+
+    from neuralbarkcalculator_tpu.ops.losses import (
+        _lovasz_softmax_flat, _lovasz_softmax_flat_hist)
+    exact = float(_lovasz_softmax_flat(jnp.asarray(probas),
+                                       jnp.asarray(labels), C))
+    hist = float(_lovasz_softmax_flat_hist(jnp.asarray(probas),
+                                           jnp.asarray(labels), C, K))
+    np.testing.assert_allclose(hist, exact, rtol=1e-5, atol=1e-6)
+
+
+def test_lovasz_hist_close_and_grad_aligned(rng):
+    """Random logits: histogram loss within ~1/bins of exact, gradient
+    direction strongly aligned (it is a tie-averaged subgradient)."""
+    import jax
+    import jax.numpy as jnp
+
+    logits = rng.normal(size=(2, 16, 16, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(2, 16, 16))
+    exact = jax.value_and_grad(
+        lambda lg: lovasz_softmax_loss(lg, labels))(jnp.asarray(logits))
+    hist = jax.value_and_grad(
+        lambda lg: lovasz_softmax_loss(lg, labels, bins=1024))(
+        jnp.asarray(logits))
+    # loss value is essentially exact (measured ~1e-6 even at 256 bins)
+    assert abs(float(exact[0]) - float(hist[0])) < 1e-4
+    a = np.asarray(exact[1]).ravel()
+    b = np.asarray(hist[1]).ravel()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.98, cos  # tie-averaged subgradient; 0.986 measured
+
+
+def test_lovasz_hist_masked_matches_unpadded(rng):
+    """Histogram path honors pixel_weights exactly like the sort path:
+    padding garbage + zero mask == unpadded."""
+    logits = rng.normal(size=(2, 8, 8, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(2, 8, 8))
+    pad_logits = np.concatenate(
+        [logits, rng.normal(size=(1, 8, 8, C)).astype(np.float32)])
+    pad_labels = np.concatenate([labels,
+                                 rng.integers(0, C, size=(1, 8, 8))])
+    pw = np.array([1, 1, 0], np.float32)[:, None, None]
+    unpadded = float(lovasz_softmax_loss(logits, labels, bins=128))
+    masked = float(lovasz_softmax_loss(pad_logits, pad_labels,
+                                       pixel_weights=pw, bins=128))
+    np.testing.assert_allclose(masked, unpadded, rtol=1e-5, atol=1e-6)

@@ -144,7 +144,8 @@ def main() -> None:
     ref_s = (None if args.skip_reference
              else measure_reference(root, min(2, args.images)))
 
-    auto = "host" if bw < 150e6 else "device"
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+    auto = Preprocessor(backend="auto")._resolve_backend()
     result = {
         "backend_device_sec_per_image": round(device_s, 3),
         "backend_host_sec_per_image": round(host_s, 3),
