@@ -93,3 +93,139 @@ def upsample_argmax(feat_logits: jnp.ndarray, row_ops: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, oh, out_w), jnp.uint8),
         interpret=interpret,
     )(row_ops, feat_logits, colt)
+
+
+# --------------------------------------------------------------------------
+# Fused dropout + 1x1-conv head (training hot path)
+#
+# Measured (docs/SCALING.md "Train-step roofline"): interposing ANY
+# elementwise producer — a dropout mask, a fixed multiply, even a plain
+# reshape+dot — between the FCN head's conv->bn->relu chain and its final
+# 1x1 conv breaks XLA:TPU's layout propagation for the backward pass and
+# costs +47 ms/step in re-layout copies (the mask's own arithmetic is
+# ~4 ms). This kernel gives XLA a single opaque boundary instead: dropout
+# mask generation (on-core PRNG), the masked scale, and the 1x1-conv
+# matmul all live inside one Pallas call, with a custom VJP whose
+# backward regenerates the identical mask from the same per-block seeds
+# (no mask residual in HBM at all; only the pre-mask activations, which
+# autodiff saves anyway).
+#
+#   fwd:  y[n, k]  = sum_c h[n, c] * m[n, c] * w[c, k] + b[k]
+#   bwd:  dh = (g @ w^T) * m;  dw = (h * m)^T @ g  (per-block partials,
+#         summed in XLA);  db = sum_n g
+#
+# m in {0, 1/keep}, keep = 1 - rate, from uint32 bits < keep * 2^32.
+
+_FDM_BLOCK_ROWS = 16  # feature rows per grid step
+
+
+def _fdm_mask(seed_ref, shape, thresh: int, inv_keep: float):
+    """Regenerate the block's dropout mask (identical in fwd and bwd)."""
+    # Mosaic caps prng_seed at 2 values: fold the 2-D grid id into one
+    block_id = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], block_id)
+    bits = pltpu.prng_random_bits(shape)
+    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    return jnp.where(bits < jnp.uint32(thresh), jnp.float32(inv_keep),
+                     jnp.float32(0.0))
+
+
+def _fdm_fwd_kernel(seed_ref, h_ref, w_ref, b_ref, y_ref, *, thresh,
+                    inv_keep):
+    bh, wf, c = h_ref.shape[1:]
+    h = h_ref[0].reshape(bh * wf, c)
+    m = _fdm_mask(seed_ref, (bh * wf, c), thresh, inv_keep)
+    y = jnp.dot(h * m, w_ref[:], preferred_element_type=jnp.float32)
+    y_ref[0] = (y + b_ref[:][None, :]).reshape(bh, wf, -1)
+
+
+def _fdm_bwd_kernel(seed_ref, h_ref, w_ref, g_ref, dh_ref, dw_ref, *,
+                    thresh, inv_keep):
+    bh, wf, c = h_ref.shape[1:]
+    k = g_ref.shape[-1]
+    h = h_ref[0].reshape(bh * wf, c)
+    g = g_ref[0].reshape(bh * wf, k)
+    m = _fdm_mask(seed_ref, (bh * wf, c), thresh, inv_keep)
+    dh = jnp.dot(g, w_ref[:].T, preferred_element_type=jnp.float32) * m
+    dh_ref[0] = dh.reshape(bh, wf, c)
+    dw_ref[0, 0] = jax.lax.dot_general(
+        h * m, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _fdm_grid(h):
+    b, hf, wf, c = h.shape
+    bh = hf if hf <= _FDM_BLOCK_ROWS else _FDM_BLOCK_ROWS
+    if hf % bh:
+        raise ValueError(f"feature height {hf} not divisible into "
+                         f"{bh}-row blocks")
+    return (b, hf // bh), bh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_dropout_matmul(h, w, b, seed, rate: float):
+    """y = dropout(h, rate) @ w + b as one Pallas program.
+
+    h: [B, Hf, Wf, C] f32 (the head's post-ReLU activations);
+    w: [C, K]; b: [K]; seed: [1] int32 (fold the step's dropout key);
+    rate: python float (static). Gradients flow to h, w, b.
+    """
+    y, _ = _fdm_fwd(h, w, b, seed, rate)
+    return y
+
+
+def _fdm_call(kernel, h, w, b_or_g, seed, rate, out_shapes, extra_out):
+    (grid, bh) = _fdm_grid(h)
+    thresh = min(int((1.0 - rate) * 2 ** 32), 2 ** 32 - 1)
+    inv_keep = 1.0 / (1.0 - rate)
+    _, hf, wf, c = h.shape
+    k = b_or_g.shape[-1]
+    in_specs = [
+        pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, bh, wf, c), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, k), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(b_or_g.shape if b_or_g.ndim == 1 else (1, bh, wf, k),
+                     (lambda i, j: (0,)) if b_or_g.ndim == 1
+                     else (lambda i, j: (i, j, 0, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        functools.partial(kernel, thresh=thresh, inv_keep=inv_keep),
+        grid=grid, in_specs=in_specs, out_specs=extra_out,
+        out_shape=out_shapes,
+    )(seed, h, w, b_or_g)
+
+
+def _fdm_fwd(h, w, b, seed, rate):
+    (grid, bh) = _fdm_grid(h)
+    bsz, hf, wf, c = h.shape
+    k = w.shape[-1]
+    y = _fdm_call(
+        _fdm_fwd_kernel, h, w, b, seed, rate,
+        jax.ShapeDtypeStruct((bsz, hf, wf, k), jnp.float32),
+        pl.BlockSpec((1, bh, wf, k), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM))
+    return y, (h, w, seed)
+
+
+def _fdm_bwd(rate, res, g):
+    h, w, seed = res
+    (grid, bh) = _fdm_grid(h)
+    bsz, hf, wf, c = h.shape
+    k = w.shape[-1]
+    dh, dw_parts = _fdm_call(
+        _fdm_bwd_kernel, h, w, g.astype(jnp.float32), seed, rate,
+        (jax.ShapeDtypeStruct((bsz, hf, wf, c), jnp.float32),
+         jax.ShapeDtypeStruct((bsz, hf // bh, c, k), jnp.float32)),
+        (pl.BlockSpec((1, bh, wf, c), lambda i, j: (i, j, 0, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((1, 1, c, k), lambda i, j: (i, j, 0, 0),
+                      memory_space=pltpu.VMEM)))
+    dw = jnp.sum(dw_parts, axis=(0, 1))
+    db = jnp.sum(g, axis=tuple(range(g.ndim - 1))).astype(jnp.float32)
+    return dh, dw, db, None
+
+
+fused_dropout_matmul.defvjp(_fdm_fwd, _fdm_bwd)

@@ -13,10 +13,15 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # In this environment the JAX_PLATFORMS env var is overridden by the TPU
 # plugin, so force the platform through the config API instead.
+# NEURALBARK_TEST_TPU=1 opts out, to run TPU-only tests (e.g.
+# test_pallas_kernels.py::test_fused_dropout_matmul_tpu) on real
+# hardware — select those tests explicitly; the mesh-of-8 tests need
+# the CPU platform.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu" and jax.device_count() == 8
+if os.environ.get("NEURALBARK_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu" and jax.device_count() == 8
 
 import numpy as np
 import pytest
