@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "(reference: 12)")
     parser.add_argument("--resume", action="store_true", default=False,
                         help="continue from the last epoch checkpoint")
+    parser.add_argument("--bf16", action="store_true", default=False,
+                        help="run the conv stack in bfloat16 (params stay "
+                             "f32); the reference recipe trains f32")
     parser.add_argument("--model", type=str, default="fcn_resnet50")
     parser.add_argument("--backbone_ckpt", type=str, default=None,
                         help="ImageNet backbone init: bare torchvision "
@@ -85,6 +88,8 @@ def main(args: argparse.Namespace) -> None:
         config.samples_per_epoch_factor = args.samples_factor
     if args.backbone_ckpt is not None:
         config.backbone_ckpt = args.backbone_ckpt
+    if args.bf16:
+        config.use_bfloat16 = True
 
     data_dir = args.data_dir or os.path.join(args.root_dir, "Images",
                                              "1024_with_jedi")
