@@ -154,7 +154,7 @@ def _fdm_bwd_kernel(seed_ref, h_ref, w_ref, g_ref, dh_ref, dw_ref, *,
 
 
 def _fdm_grid(h):
-    b, hf, wf, c = h.shape
+    b, hf = h.shape[0], h.shape[1]
     bh = hf if hf <= _FDM_BLOCK_ROWS else _FDM_BLOCK_ROWS
     if hf % bh:
         raise ValueError(f"feature height {hf} not divisible into "
@@ -178,7 +178,7 @@ def _fdm_call(kernel, h, w, b_or_g, seed, rate, out_shapes, extra_out):
     (grid, bh) = _fdm_grid(h)
     thresh = min(int((1.0 - rate) * 2 ** 32), 2 ** 32 - 1)
     inv_keep = 1.0 / (1.0 - rate)
-    _, hf, wf, c = h.shape
+    wf, c = h.shape[2], h.shape[3]
     k = b_or_g.shape[-1]
     in_specs = [
         pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
@@ -199,8 +199,8 @@ def _fdm_call(kernel, h, w, b_or_g, seed, rate, out_shapes, extra_out):
 
 
 def _fdm_fwd(h, w, b, seed, rate):
-    (grid, bh) = _fdm_grid(h)
-    bsz, hf, wf, c = h.shape
+    (_, bh) = _fdm_grid(h)
+    bsz, hf, wf = h.shape[:3]
     k = w.shape[-1]
     y = _fdm_call(
         _fdm_fwd_kernel, h, w, b, seed, rate,
@@ -212,7 +212,7 @@ def _fdm_fwd(h, w, b, seed, rate):
 
 def _fdm_bwd(rate, res, g):
     h, w, seed = res
-    (grid, bh) = _fdm_grid(h)
+    (_, bh) = _fdm_grid(h)
     bsz, hf, wf, c = h.shape
     k = w.shape[-1]
     dh, dw_parts = _fdm_call(
