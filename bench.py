@@ -152,6 +152,12 @@ def _timed_pass(calc, root: str) -> float:
 
 
 def main() -> None:
+    # persistent XLA compile cache: cold driver runs pay each program's
+    # compile once per container, not once per pass (and the bench-model
+    # training reuses the cached train step on any rerun)
+    from neuralbarkcalculator_tpu.cli.predict import _enable_compile_cache
+    _enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

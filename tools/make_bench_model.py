@@ -68,8 +68,11 @@ def train_bench_model(out_path: str, epochs: int = 4) -> str:
     """
     import tempfile
 
+    from neuralbarkcalculator_tpu.cli.predict import _enable_compile_cache
     from neuralbarkcalculator_tpu.config import TrainConfig
     from neuralbarkcalculator_tpu.train.loop import Experiment
+
+    _enable_compile_cache()
 
     data_root = tempfile.mkdtemp(prefix="bench_train_data_")
     build_training_set(data_root)
