@@ -439,8 +439,12 @@ static void rsz_runs_label(rsz_runs* R, int32_t h) {
 // In-place capable (img may equal out). Scratch-free public API.
 int remove_small_zones_u8(const uint8_t* img, int32_t h, int32_t w,
                           int32_t min_size, uint8_t* out) {
-  // worst case: alternating pixels -> (w/2 + 1) runs per row
-  int32_t cap = (w / 2 + 1) * h;
+  // worst case: alternating pixels -> (w/2 + 1) runs per row. Size in
+  // 64-bit: at h*w/2 > 2^31 a 32-bit product would wrap and undersize
+  // the run buffers (heap overflow in the run-recording loops below).
+  int64_t cap64 = (int64_t)(w / 2 + 1) * h;
+  if (cap64 > INT32_MAX) return BARKIO_E_IO;  // >~4 gigapixel masks
+  int32_t cap = (int32_t)cap64;
   rsz_runs nz, fl;  // pass 1: non-zero runs; pass 2: "filled" runs
   if (!rsz_runs_alloc(&nz, cap, h)) { rsz_runs_free(&nz); return BARKIO_E_IO; }
   if (!rsz_runs_alloc(&fl, cap, h)) {

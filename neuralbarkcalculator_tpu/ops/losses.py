@@ -120,6 +120,24 @@ def lovasz_softmax_loss(logits: jnp.ndarray, labels: jnp.ndarray,
         return _lovasz_softmax_flat_hist(
             probas.reshape(-1, num_classes), labels.reshape(-1),
             num_classes, bins, flat_w)
+    if bins and per_image:
+        # route per-image through the histogram fast path too (vmapped)
+        b = probas.shape[0]
+        if pixel_weights is not None:
+            per = jax.vmap(
+                lambda p, l, w: _lovasz_softmax_flat_hist(
+                    p.reshape(-1, num_classes), l.reshape(-1),
+                    num_classes, bins, w.reshape(-1)))(
+                probas.reshape(b, -1, num_classes), labels.reshape(b, -1),
+                pixel_weights.reshape(b, -1))
+            valid = (jnp.sum(pixel_weights.reshape(b, -1), axis=1)
+                     > 0).astype(per.dtype)
+            return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return jnp.mean(jax.vmap(
+            lambda p, l: _lovasz_softmax_flat_hist(
+                p.reshape(-1, num_classes), l.reshape(-1),
+                num_classes, bins))(
+            probas.reshape(b, -1, num_classes), labels.reshape(b, -1)))
     if per_image:
         b = probas.shape[0]
         if pixel_weights is not None:
@@ -213,20 +231,122 @@ def _lovasz_softmax_flat_hist(probas: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
 
 
-def lovasz_hinge_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Binary Lovász hinge, per_image=False (lovasz_losses.py:83-119).
-
-    logits: [..., H, W] real-valued; labels: [..., H, W] in {0, 1}.
-    """
-    flat_logits = logits.reshape(-1)
-    flat_labels = labels.reshape(-1).astype(flat_logits.dtype)
+def _lovasz_hinge_flat(flat_logits: jnp.ndarray, flat_labels: jnp.ndarray,
+                       pixel_weights: jnp.ndarray | None = None
+                       ) -> jnp.ndarray:
+    """Flat binary Lovász hinge (lovasz_losses.py:102-119) with the
+    reference's ``ignore`` filtering expressed in static shapes: masked
+    pixels get error 0 (relu(0)·w contributes nothing), zeroed ground
+    truth, and a sort key that places them strictly after every valid
+    pixel, so the cumulative Jaccard prefixes at valid positions match
+    the filtered computation."""
+    flat_labels = flat_labels.astype(flat_logits.dtype)
     signs = 2.0 * flat_labels - 1.0
     errors = 1.0 - flat_logits * signs
-    perm = jnp.argsort(-errors)
+    if pixel_weights is not None:
+        w = pixel_weights.astype(flat_logits.dtype)
+        errors = errors * w
+        flat_labels = flat_labels * w
+        # valid errors can be negative; masked pixels must still sort
+        # strictly last under the descending sort -> -inf key
+        sort_key = jnp.where(w > 0, errors, -jnp.inf)
+    else:
+        sort_key = errors
+    perm = jnp.argsort(-jax.lax.stop_gradient(sort_key), stable=True)
     errors_sorted = errors[perm]
     gt_sorted = flat_labels[perm]
     grad = jax.lax.stop_gradient(lovasz_grad(gt_sorted))
     return jnp.dot(jax.nn.relu(errors_sorted), grad)
+
+
+def lovasz_hinge_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                      per_image: bool = False,
+                      pixel_weights: jnp.ndarray | None = None
+                      ) -> jnp.ndarray:
+    """Binary Lovász hinge (lovasz_losses.py:83-119).
+
+    logits: [..., H, W] real-valued; labels: [..., H, W] in {0, 1};
+    per_image=True averages the flat loss over leading-dim entries
+    (the reference default — lovasz_losses.py:91-95); pixel_weights is
+    the static-shape equivalent of the reference's ``ignore`` label
+    (a {0,1} mask broadcastable to labels' shape).
+    """
+    if pixel_weights is not None:
+        pixel_weights = jnp.broadcast_to(pixel_weights, labels.shape)
+    if per_image:
+        b = logits.shape[0]
+        if pixel_weights is not None:
+            per = jax.vmap(_lovasz_hinge_flat)(
+                logits.reshape(b, -1), labels.reshape(b, -1),
+                pixel_weights.reshape(b, -1))
+        else:
+            per = jax.vmap(
+                lambda lo, la: _lovasz_hinge_flat(lo, la))(
+                logits.reshape(b, -1), labels.reshape(b, -1))
+        return jnp.mean(per)
+    flat_w = (None if pixel_weights is None else pixel_weights.reshape(-1))
+    return _lovasz_hinge_flat(logits.reshape(-1), labels.reshape(-1),
+                              flat_w)
+
+
+def flatten_binary_scores(scores: jnp.ndarray, labels: jnp.ndarray,
+                          ignore: int | None = None):
+    """Parity port of lovasz_losses.py:122-134: flatten and drop pixels
+    whose label equals ``ignore``. Boolean filtering is data-dependent,
+    so this utility is eager-only (outside jit); inside jit, pass
+    ``pixel_weights=(labels != ignore)`` to the loss instead — the
+    static-shape formulation computes the identical value."""
+    scores = scores.reshape(-1)
+    labels = labels.reshape(-1)
+    if ignore is None:
+        return scores, labels
+    valid = labels != ignore
+    return scores[valid], labels[valid]
+
+
+def binary_xloss(logits: jnp.ndarray, labels: jnp.ndarray,
+                 ignore: int | None = None) -> jnp.ndarray:
+    """Binary cross-entropy via StableBCE (lovasz_losses.py:147-156).
+    ``ignore`` filtering is eager-only (see flatten_binary_scores)."""
+    flat_logits, flat_labels = flatten_binary_scores(logits, labels, ignore)
+    return stable_bce_loss(flat_logits, flat_labels)
+
+
+def iou_binary(preds: jnp.ndarray, labels: jnp.ndarray,
+               EMPTY: float = 1.0, ignore: int | None = None,
+               per_image: bool = True) -> jnp.ndarray:
+    """Foreground-class IoU ×100 (lovasz_losses.py:34-51): binary masks
+    with 1=foreground; ``ignore`` pixels are excluded from the union's
+    prediction term exactly as in the reference (labels==1 still counts
+    even at ignored positions — faithful to the reference expression)."""
+    preds = jnp.asarray(preds)
+    labels = jnp.asarray(labels)
+    if not per_image:
+        preds = preds.reshape(1, -1)
+        labels = labels.reshape(1, -1)
+    b = preds.shape[0]
+    p = preds.reshape(b, -1)
+    l = labels.reshape(b, -1)
+    not_ignored = (jnp.ones_like(l, dtype=bool) if ignore is None
+                   else l != ignore)
+    inter = jnp.sum((l == 1) & (p == 1), axis=1)
+    union = jnp.sum((l == 1) | ((p == 1) & not_ignored), axis=1)
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), EMPTY)
+    return 100.0 * jnp.mean(iou)
+
+
+def xloss(logits: jnp.ndarray, labels: jnp.ndarray,
+          ignore: int | None = None) -> jnp.ndarray:
+    """Cross-entropy parity (lovasz_losses.py:246-251). Note the
+    reference *ignores its own ``ignore`` argument* and hardcodes
+    ignore_index=255 — reproduced faithfully. NHWC logits."""
+    del ignore  # reference quirk: argument unused, 255 hardcoded
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    valid = (labels != 255)
+    safe = jnp.where(valid, labels, 0)
+    ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    vw = valid.astype(ce.dtype)
+    return jnp.sum(ce * vw) / jnp.maximum(jnp.sum(vw), 1.0)
 
 
 def stable_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

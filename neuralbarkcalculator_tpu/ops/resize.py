@@ -122,7 +122,10 @@ def spline_resize_host(img: np.ndarray, out_h: int,
     float32 tensor->numpy image).
 
     img: [H, W, C] or [H, W] float; returns float32 clipped to the input
-    range (skimage clip=True default).
+    range (skimage clip=True default). Clip-semantics caveat: the device
+    path (_preprocess_batch) clips only to [0, 1] at uint8 quantization,
+    so at spline-overshoot pixels whose input range is narrower than
+    [0, 1] the two backends can differ by 1 LSB after quantization.
     """
     from scipy.ndimage import spline_filter1d
 

@@ -105,6 +105,12 @@ class Preprocessor:
         self.backend = backend
         self._resolved_backend: str | None = None
 
+    # 'auto' calibration probes the transfer link and host resize speed —
+    # neither changes within a process, so the result is cached at module
+    # scope: serving/watch mode constructs a fresh Preprocessor per
+    # rescan and must not re-pay the probe each time (ADVICE r2).
+    _auto_backend_cache: str | None = None
+
     def _resolve_backend(self) -> str:
         if self._resolved_backend is None:
             env = os.environ.get("NEURALBARK_PREPROCESS")
@@ -113,7 +119,10 @@ class Preprocessor:
             elif self.backend != "auto":
                 self._resolved_backend = self.backend
             else:
-                self._resolved_backend = self._calibrate_backend()
+                if Preprocessor._auto_backend_cache is None:
+                    Preprocessor._auto_backend_cache = \
+                        self._calibrate_backend()
+                self._resolved_backend = Preprocessor._auto_backend_cache
         return self._resolved_backend
 
     def _calibrate_backend(self, src: int = 4096) -> str:

@@ -238,6 +238,121 @@ def test_lovasz_hist_close_and_grad_aligned(rng):
     assert cos > 0.98, cos  # tie-averaged subgradient; 0.986 measured
 
 
+def _np_lovasz_hinge_flat(logits, labels):
+    signs = 2.0 * labels - 1.0
+    errors = 1.0 - logits * signs
+    perm = np.argsort(-errors, kind="stable")
+    return np.dot(np.maximum(errors[perm], 0),
+                  _np_lovasz_grad(labels[perm].astype(np.float64)))
+
+
+def test_lovasz_hinge_per_image(rng):
+    """per_image=True (the reference default, lovasz_losses.py:91-95)
+    averages the flat hinge over batch entries."""
+    logits = rng.normal(size=(3, 6, 6)).astype(np.float32)
+    labels = (rng.random((3, 6, 6)) > 0.5).astype(np.int32)
+    want = np.mean([
+        _np_lovasz_hinge_flat(logits[i].reshape(-1).astype(np.float64),
+                              labels[i].reshape(-1).astype(np.float64))
+        for i in range(3)])
+    got = float(lovasz_hinge_loss(logits, labels, per_image=True))
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_lovasz_hinge_ignore_mask_matches_filtered(rng):
+    """Static-shape pixel_weights == the reference's dynamic ignore
+    filtering (lovasz_losses.py:122-134)."""
+    logits = rng.normal(size=(2, 6, 6)).astype(np.float64)
+    labels = (rng.random((2, 6, 6)) > 0.5).astype(np.int32)
+    mask = (rng.random((2, 6, 6)) > 0.3)
+    flat_lo = logits.reshape(-1)[mask.reshape(-1)]
+    flat_la = labels.reshape(-1)[mask.reshape(-1)].astype(np.float64)
+    want = _np_lovasz_hinge_flat(flat_lo, flat_la)
+    got = float(lovasz_hinge_loss(logits.astype(np.float32), labels,
+                                  pixel_weights=mask.astype(np.float32)))
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_binary_xloss_vs_torch(rng):
+    torch = pytest.importorskip("torch")
+    from neuralbarkcalculator_tpu.ops.losses import binary_xloss
+
+    logits = rng.normal(size=(2, 6, 6)).astype(np.float32)
+    labels = (rng.random((2, 6, 6)) > 0.5).astype(np.int64)
+    labels[0, 0, :3] = 2  # ignore label
+    # reference: filter ignore==2, then StableBCE
+    keep = labels.reshape(-1) != 2
+    x = torch.from_numpy(logits.reshape(-1)[keep])
+    t = torch.from_numpy(labels.reshape(-1)[keep].astype(np.float32))
+    want = float((x.clamp(min=0) - x * t
+                  + (1 + (-x.abs()).exp()).log()).mean())
+    got = float(binary_xloss(logits, labels, ignore=2))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_iou_binary_reference_semantics(rng):
+    from neuralbarkcalculator_tpu.ops.losses import iou_binary
+
+    preds = (rng.random((3, 8, 8)) > 0.5).astype(np.int32)
+    labels = (rng.random((3, 8, 8)) > 0.5).astype(np.int32)
+    labels[1] = 0
+    preds[1] = 0  # empty union image -> EMPTY=1.0 contribution
+    labels[2, 0, :4] = 7  # ignore label
+
+    def ref_iou(pred, label, ignore):
+        inter = int(((label == 1) & (pred == 1)).sum())
+        union = int(((label == 1)
+                     | ((pred == 1) & (label != ignore))).sum())
+        return 1.0 if union == 0 else inter / union
+
+    want = 100.0 * np.mean([ref_iou(preds[i], labels[i], 7)
+                            for i in range(3)])
+    got = float(iou_binary(preds, labels, ignore=7, per_image=True))
+    assert got == pytest.approx(want, rel=1e-6)
+    # per_image=False flattens everything into one image
+    want_flat = 100.0 * ref_iou(preds.reshape(-1), labels.reshape(-1), 7)
+    got_flat = float(iou_binary(preds, labels, ignore=7, per_image=False))
+    assert got_flat == pytest.approx(want_flat, rel=1e-6)
+
+
+def test_xloss_vs_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from neuralbarkcalculator_tpu.ops.losses import xloss
+
+    logits = rng.normal(size=(2, 6, 6, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(2, 6, 6))
+    labels[0, :2, :] = 255  # the hardcoded ignore_index
+    want = float(F.cross_entropy(
+        torch.from_numpy(logits.transpose(0, 3, 1, 2)),
+        torch.from_numpy(labels), ignore_index=255))
+    # the reference ignores its own `ignore` arg; ours must too
+    got = float(xloss(logits, labels, ignore=1))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_lovasz_hist_per_image_routed(rng):
+    """ADVICE r2: bins + per_image must use the histogram path (not fall
+    through to the slow exact sort silently); value stays close to the
+    exact per-image loss at high bin counts."""
+    logits = rng.normal(size=(2, 8, 8, C)).astype(np.float32)
+    labels = rng.integers(0, C, size=(2, 8, 8))
+    exact = float(lovasz_softmax_loss(logits, labels, per_image=True))
+    hist = float(lovasz_softmax_loss(logits, labels, per_image=True,
+                                     bins=4096))
+    assert hist == pytest.approx(exact, abs=2e-3)
+    # masked variant agrees with unpadded
+    pad_logits = np.concatenate(
+        [logits, rng.normal(size=(1, 8, 8, C)).astype(np.float32)])
+    pad_labels = np.concatenate([labels,
+                                 rng.integers(0, C, size=(1, 8, 8))])
+    pw = np.array([1, 1, 0], np.float32)[:, None, None]
+    masked = float(lovasz_softmax_loss(
+        pad_logits, pad_labels, per_image=True, pixel_weights=pw,
+        bins=4096))
+    assert masked == pytest.approx(hist, rel=1e-5, abs=1e-6)
+
+
 def test_lovasz_hist_masked_matches_unpadded(rng):
     """Histogram path honors pixel_weights exactly like the sort path:
     padding garbage + zero mask == unpadded."""
