@@ -122,3 +122,12 @@ class PredictConfig:
     use_bfloat16: bool = True  # run the conv stack in bf16 on the MXU
     use_pallas: bool = True  # fused upsample+argmax kernel (TPU backend
     # only; other backends use the unfused XLA path automatically)
+    pallas_interpret: bool = False  # run the Pallas kernel in interpret
+    # mode on non-TPU backends (tests / multichip dryrun on a CPU mesh)
+    renderer: str = "fast"  # combined-figure renderer: "fast" =
+    # first-party compositor (pipeline/compositor.py, same layout,
+    # ~8x cheaper); "mpl" = matplotlib Agg (reference byte-style output)
+    fold_bn: bool = True  # constant-fold eval-mode BatchNorm (and its
+    # batch_stats) into conv kernels+biases at load (models/fold.py) —
+    # removes every BN elementwise pass from the inference graph;
+    # backbones without fold support fall back to the unfolded forward

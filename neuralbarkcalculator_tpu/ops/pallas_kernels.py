@@ -72,23 +72,29 @@ def upsample_argmax(feat_logits: jnp.ndarray, row_ops: jnp.ndarray,
                  (bicubic_resize_matrix(Wf, OW).T)
     Returns [B, OH, OW] uint8 class maps.
     """
+    import math
+
     b, f, wf, c = feat_logits.shape
     oh = row_ops.shape[1]
-    assert c == 3 and oh % TILE_H == 0 and colt.shape == (wf, out_w)
+    assert c == 3 and colt.shape == (wf, out_w)
+    # production buckets are multiples of 128 -> full TILE_H; small test
+    # shapes (height_bucket 32) fall back to the largest dividing tile
+    # (still a sublane multiple of 8 for any bucket that is one)
+    tile_h = math.gcd(oh, TILE_H)
 
-    grid = (b, oh // TILE_H)
+    grid = (b, oh // tile_h)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TILE_H, f), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tile_h, f), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f, wf, c), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wf, out_w), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_H, out_w), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, tile_h, out_w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, oh, out_w), jnp.uint8),
         interpret=interpret,

