@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="resize/trim on device (MXU matmuls) or host "
                              "(scipy-IIR spline, same math); auto measures "
                              "host->device bandwidth once and picks")
+    parser.add_argument("--mpl", action="store_true", default=False,
+                        help="render combined figures with matplotlib Agg "
+                             "(reference byte-style output) instead of the "
+                             "first-party compositor (same layout, ~8x "
+                             "faster)")
     parser.add_argument("--watch", type=float, default=None, metavar="SECS",
                         help="serving mode: re-scan ROOT every SECS "
                              "seconds, preprocessing and predicting only "
@@ -94,6 +99,8 @@ def main(args: argparse.Namespace) -> None:
         config.figure_dpi = args.dpi
     if args.float32:
         config.use_bfloat16 = False
+    if args.mpl:
+        config.renderer = "mpl"
 
     model = None
 

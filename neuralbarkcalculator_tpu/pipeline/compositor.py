@@ -1,0 +1,197 @@
+"""First-party raster compositor for the combined Input/Generated figure.
+
+The reference renders its per-image artifact with matplotlib
+(models.py:280-347: two imshow panels, a class legend, an
+estimated-composition suptitle, savefig at dpi). Agg figure rasterization
+is pure host work and measured at ~175 ms/image on a 1-core host — an
+order of magnitude more than the TPU spends producing the class map
+(docs/SCALING.md). This module draws the same figure directly:
+
+- layout constants are lifted from the real matplotlib figure geometry
+  (default 6.4x4.8 in figure, tight_layout'd axes boxes, fig.legend at
+  bbox_to_anchor=(0.4,-0.2,0.5,0.5), suptitle y=0.98 — all measured from
+  a rendered reference figure and expressed in figure-fraction units so
+  any dpi reproduces the same arrangement);
+- panels are downsampled with PIL's C resampler (BOX area-average for the
+  photo, NEAREST for the categorical map) and the class map is colored
+  through the 3-entry viridis LUT that ``imshow(vmax=2)`` uses;
+- text (panel titles, legend labels, suptitle) is rasterized with PIL
+  FreeType using matplotlib's own DejaVu Sans so glyphs match;
+- the canvas encodes through the native PNG encoder (io/native.py).
+
+This is the default figure path (PredictConfig.renderer="fast");
+``renderer="mpl"`` / the predict CLI's ``--mpl`` flag keeps byte-level
+matplotlib output for anyone diffing artifacts against the reference.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from ..config import CLASS_NAMES
+
+# viridis at norm(0), norm(1), norm(2) with vmax=2 — the exact colors
+# matplotlib's imshow gives the three classes (and the legend patches).
+VIRIDIS3 = np.array([[68, 1, 84], [33, 145, 140], [253, 231, 37]],
+                    np.uint8)
+
+# Figure-fraction layout, measured from the rendered matplotlib figure
+# (100 dpi, 640x480 canvas; fractions are dpi-independent). y is from the
+# TOP of the canvas.
+_FIG_W_IN, _FIG_H_IN = 6.4, 4.8
+_PANEL_W, _PANEL_H = 0.46484375, 0.6197917  # axes box (both = 2.975 in)
+_PANEL_X = (0.0234375, 0.51171875)  # left edges of the two axes boxes
+_PANEL_Y = 0.2678  # top edge of the axes boxes (128.55/480)
+_TITLE_GAP_FRAC = 0.009  # gap between title baseline box and axes top
+_SUPTITLE_Y = 0.02  # suptitle top (y=0.98 in mpl bottom-origin coords)
+# legend anchor: top-right corner of the legend frame sits at the
+# upper-right of the bbox_to_anchor box (0.4,-0.2,0.5,0.5), inset by
+# ~0.5 em — measured (569, 137)/(640, 480) bottom-origin.
+_LEGEND_RIGHT = 0.9, 0.7  # (x_right, y_top from top) before the inset
+
+_TITLE_PT = 12.0
+_LEGEND_PT = 10.0
+
+
+@functools.lru_cache(maxsize=8)
+def _font(px: int) -> ImageFont.FreeTypeFont:
+    """DejaVu Sans at a pixel size — matplotlib's bundled font, located
+    without importing matplotlib (keeps the fast path mpl-free)."""
+    import importlib.util
+    try:
+        spec = importlib.util.find_spec("matplotlib")
+        if spec and spec.submodule_search_locations:
+            path = os.path.join(spec.submodule_search_locations[0],
+                                "mpl-data", "fonts", "ttf",
+                                "DejaVuSans.ttf")
+            if os.path.isfile(path):
+                return ImageFont.truetype(path, px)
+    except Exception:
+        pass
+    return ImageFont.load_default(size=px)  # PIL >= 10 fallback
+
+
+def _fit(shape: tuple[int, int], box_w: int, box_h: int
+         ) -> tuple[int, int]:
+    """Aspect-preserving fit of an image into a panel box (imshow
+    aspect='equal')."""
+    h, w = shape
+    scale = min(box_w / w, box_h / h)
+    return max(1, round(w * scale)), max(1, round(h * scale))
+
+
+def _panel_photo(img: np.ndarray, tw: int, th: int) -> Image.Image:
+    """Area-downsample the input photo (imshow antialiased resample)."""
+    return Image.fromarray(img).resize((tw, th), Image.BOX)
+
+
+def _panel_classmap(cmap: np.ndarray, tw: int, th: int) -> Image.Image:
+    """NEAREST-downsample the categorical map, then color via the LUT
+    (keeps classes crisp; matplotlib interpolates the scalar field, which
+    only differs along zone boundaries)."""
+    small = np.asarray(
+        Image.fromarray(cmap).resize((tw, th), Image.NEAREST))
+    return Image.fromarray(VIRIDIS3[small])
+
+
+def render_combined_fast(input_img: np.ndarray, class_map: np.ndarray,
+                         out_path: str, class_percents: list[float],
+                         dpi: int = 200) -> None:
+    """Drop-in twin of report.render_combined (same signature): the
+    side-by-side Input / Generated figure without matplotlib."""
+    W, H = round(_FIG_W_IN * dpi), round(_FIG_H_IN * dpi)
+    canvas = Image.new("RGB", (W, H), "white")
+    draw = ImageDraw.Draw(canvas, "RGBA")
+    title_f = _font(round(_TITLE_PT / 72 * dpi))
+    legend_f = _font(round(_LEGEND_PT / 72 * dpi))
+
+    # ---- panels + titles
+    box_w, box_h = round(_PANEL_W * W), round(_PANEL_H * H)
+    names = ("Input", "Generated image")
+    panels = (input_img, class_map)
+    for i in range(2):
+        x0 = round(_PANEL_X[i] * W)
+        y0 = round(_PANEL_Y * H)
+        tw, th = _fit(panels[i].shape[:2], box_w, box_h)
+        px = x0 + (box_w - tw) // 2
+        py = y0 + (box_h - th) // 2
+        tile = (_panel_photo(panels[i], tw, th) if panels[i].ndim == 3
+                else _panel_classmap(panels[i], tw, th))
+        canvas.paste(tile, (px, py))
+        # centered title just above the axes box (mpl pad ~4.3 px@100dpi)
+        tb = draw.textbbox((0, 0), names[i], font=title_f)
+        draw.text((x0 + (box_w - (tb[2] - tb[0])) / 2,
+                   y0 - _TITLE_GAP_FRAC * H - (tb[3] - tb[1]) - tb[1]),
+                  names[i], font=title_f, fill="black")
+
+    # ---- suptitle (3 centered lines, linespacing 1.2)
+    sup = "Estimated composition percentages\n" + "".join(
+        "{} : {:.3f}\n".format(n, p)
+        for n, p in zip(CLASS_NAMES[1:], class_percents))
+    sup = sup.rstrip("\n")
+    line_h = round(_TITLE_PT / 72 * dpi * 1.2)
+    sb = draw.multiline_textbbox((0, 0), sup, font=title_f,
+                                 spacing=line_h // 4, align="center")
+    draw.multiline_text(((W - (sb[2] - sb[0])) / 2, _SUPTITLE_Y * H),
+                        sup, font=title_f, fill="black",
+                        spacing=line_h // 4, align="center")
+
+    # ---- legend (present classes only, models.py:298-311);
+    # bincount == np.unique for a {0,1,2} uint8 map at ~1/30 the cost
+    counts = np.bincount(class_map.ravel(), minlength=3)
+    values = [v for v in range(3) if counts[v] > 0]
+    _draw_legend(draw, W, H, values, legend_f, dpi)
+
+    arr = np.asarray(canvas)
+    try:
+        from ..io.native import save_image_u8_fast
+        save_image_u8_fast(out_path, arr, zlevel=2)
+    except Exception:  # pragma: no cover
+        canvas.save(out_path, format="PNG")
+
+
+def _draw_legend(draw: ImageDraw.ImageDraw, W: int, H: int,
+                 values: list[int], font: ImageFont.FreeTypeFont,
+                 dpi: int) -> None:
+    """The fig.legend frame: 'Classes' title + one patch row per present
+    class. Metrics follow matplotlib legend defaults in em units
+    (borderpad .4, handlelength 2, handletextpad .8, labelspacing .5)."""
+    em = _LEGEND_PT / 72 * dpi
+    labels = ["{} zone".format(CLASS_NAMES[v]) for v in values]
+    entry_h = round(1.0 * em)
+    pad = round(0.4 * em)
+    handle_w = round(2.0 * em)
+    handle_gap = round(0.8 * em)
+    spacing = round(0.5 * em)
+    title = "Classes"
+
+    tb = draw.textbbox((0, 0), title, font=font)
+    text_w = max((draw.textbbox((0, 0), s, font=font)[2] for s in labels),
+                 default=0)
+    box_w = 2 * pad + max(handle_w + handle_gap + text_w, tb[2])
+    box_h = (2 * pad + entry_h  # title row
+             + len(labels) * (entry_h + spacing))
+
+    x1 = round(_LEGEND_RIGHT[0] * W - 0.5 * em)
+    y0 = round(_LEGEND_RIGHT[1] * H + 0.5 * em)
+    x0 = x1 - box_w
+    # frame: framealpha .8 white fill, '0.8' gray rounded border
+    draw.rounded_rectangle((x0, y0, x1, y0 + box_h),
+                           radius=round(0.3 * em),
+                           fill=(255, 255, 255, 204),
+                           outline=(204, 204, 204, 255), width=1)
+    # centered title
+    draw.text((x0 + (box_w - tb[2]) / 2, y0 + pad), title, font=font,
+              fill="black")
+    y = y0 + pad + entry_h + spacing
+    for v, label in zip(values, labels):
+        hy = y + round(0.12 * em)
+        draw.rectangle((x0 + pad, hy, x0 + pad + handle_w,
+                        hy + round(0.75 * em)),
+                       fill=tuple(int(c) for c in VIRIDIS3[v]))
+        draw.text((x0 + pad + handle_w + handle_gap, y), label,
+                  font=font, fill="black")
+        y += entry_h + spacing

@@ -15,8 +15,14 @@ Reproduces the reference's output artifacts byte-layout-compatibly
   quirk exactly.
 
 Figure rendering is pure host work, so PredictReporter runs it on a thread
-pool that overlaps with device compute (matplotlib's Agg canvas releases
-the GIL during rasterization).
+pool that overlaps with device compute. Two renderers:
+
+- ``renderer="fast"`` (default): the first-party raster compositor
+  (pipeline/compositor.py) — same layout/content, ~8x cheaper than Agg
+  on a 1-core host, and matplotlib is never imported;
+- ``renderer="mpl"``: matplotlib Agg, byte-level reference-style output
+  (the predict CLI's ``--mpl`` flag). Agg releases the GIL during
+  rasterization, so it also overlaps on the pool.
 """
 from __future__ import annotations
 
@@ -24,19 +30,11 @@ import csv
 import os
 from concurrent.futures import ThreadPoolExecutor
 
-import matplotlib
 import numpy as np
 
-matplotlib.use("Agg", force=False)
-
-import matplotlib.patches as mpatches  # noqa: E402
-from matplotlib.figure import Figure  # noqa: E402
-# NB: figures render on the reporter's thread pool, so everything uses the
-# object-oriented Figure API — pyplot's global figure manager is not
-# thread-safe.
-
-from ..config import CLASS_NAMES, DEFAULT_MM_PER_PIXEL  # noqa: E402
-from ..io.native import save_image_u8_fast as save_image_u8  # noqa: E402
+from ..config import CLASS_NAMES, DEFAULT_MM_PER_PIXEL
+from ..io.native import save_image_u8_fast as save_image_u8
+from .compositor import render_combined_fast
 
 CSV_HEADER = [
     "Name", "Type", "Image Size", "Output Bark %", "Bark area (mm^2)",
@@ -81,7 +79,17 @@ def display_subsample(img: np.ndarray, dpi: int) -> np.ndarray:
 def render_combined(input_img: np.ndarray, class_map: np.ndarray,
                     out_path: str, class_percents: list[float],
                     dpi: int = 200) -> None:
-    """The side-by-side Input / Generated figure (models.py:280-347)."""
+    """The side-by-side Input / Generated figure (models.py:280-347),
+    rendered with matplotlib Agg (the ``renderer='mpl'`` path; lazy
+    import keeps the default fast path matplotlib-free)."""
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.patches as mpatches
+    # NB: figures render on the reporter's thread pool, so everything
+    # uses the object-oriented Figure API — pyplot's global figure
+    # manager is not thread-safe.
+    from matplotlib.figure import Figure
+
     names = ["Input", "Generated image"]
     values = np.unique(class_map.ravel())  # full-res legend values
     imgs = [display_subsample(input_img, dpi),
@@ -139,10 +147,13 @@ class PredictReporter:
 
     def __init__(self, results_dir: str, dpi: int = 200,
                  mm_per_pix: float = DEFAULT_MM_PER_PIXEL,
-                 workers: int = 8):
+                 workers: int = 8, renderer: str = "fast"):
+        if renderer not in ("fast", "mpl"):
+            raise ValueError(f"unknown renderer {renderer!r}")
         self.results_dir = results_dir
         self.dpi = dpi
         self.mm_per_pix = mm_per_pix
+        self.renderer = renderer
         self._rows: list[tuple[int, list[str]]] = []
         self._pool = ThreadPoolExecutor(max_workers=workers)
         self._futures = []
@@ -157,9 +168,10 @@ class PredictReporter:
         combined = os.path.join(self.results_dir, "combined_images",
                                 wood_type, fname)
         dual = os.path.join(self.results_dir, "outputs", wood_type, fname)
+        render = (render_combined_fast if self.renderer == "fast"
+                  else render_combined)
         self._futures.append(self._pool.submit(
-            render_combined, input_img, class_map, combined, percents,
-            self.dpi))
+            render, input_img, class_map, combined, percents, self.dpi))
         self._futures.append(self._pool.submit(save_dual, class_map, dual))
 
     def add_row_only(self, class_map: np.ndarray, fname: str,
