@@ -28,15 +28,21 @@ class FCNHead(nn.Module):
     channels: int  # number of classes
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    folded: bool = False  # BN folded into conv1 (models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_h=None):
+        if self.folded and train:
+            raise ValueError("folded models are inference-only")
         inter = x.shape[-1] // 4
         x = apply_row_mask(x, valid_h)
-        x = nn.Conv(inter, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+        x = nn.Conv(inter, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=self.folded, dtype=self.dtype,
+                    name="conv1")(x)
+        if not self.folded:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name="bn1")(x)
         x = nn.relu(x)
         x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         x = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
@@ -47,14 +53,18 @@ class FCNHead(nn.Module):
 class ASPPConv(nn.Module):
     rate: int
     dtype: Dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(256, (3, 3), padding=[(self.rate,) * 2] * 2,
-                    kernel_dilation=(self.rate, self.rate), use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+                    kernel_dilation=(self.rate, self.rate),
+                    use_bias=self.folded, dtype=self.dtype,
+                    name="conv")(x)
+        if not self.folded:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name="bn")(x)
         return nn.relu(x)
 
 
@@ -64,21 +74,25 @@ class ASPP(nn.Module):
 
     rates: Sequence[int] = (12, 24, 36)
     dtype: Dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_h=None):
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name)
+        if self.folded and train:
+            raise ValueError("folded models are inference-only")
+        norm = lambda name: (  # noqa: E731
+            (lambda z: z) if self.folded else nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name=name))
         x = apply_row_mask(x, valid_h)  # atrous 3x3 branches mix rows
         branches = []
-        b = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+        b = nn.Conv(256, (1, 1), use_bias=self.folded, dtype=self.dtype,
                     name="b0_conv")(x)
         branches.append(nn.relu(norm("b0_bn")(b)))
         for i, rate in enumerate(self.rates):
             branches.append(
-                ASPPConv(rate, dtype=self.dtype, name=f"b{i + 1}")(
-                    x, train=train))
+                ASPPConv(rate, dtype=self.dtype, folded=self.folded,
+                         name=f"b{i + 1}")(x, train=train))
         # global-pooling branch: mean -> 1x1 conv -> BN -> ReLU -> broadcast
         if valid_h is None:
             pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
@@ -87,15 +101,15 @@ class ASPP(nn.Module):
             denom = (valid_h.astype(x.dtype) * x.shape[2])[:, None, None,
                                                            None]
             pooled = jnp.sum(x, axis=(1, 2), keepdims=True) / denom
-        pooled = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
-                         name="pool_conv")(pooled)
+        pooled = nn.Conv(256, (1, 1), use_bias=self.folded,
+                         dtype=self.dtype, name="pool_conv")(pooled)
         pooled = nn.relu(norm("pool_bn")(pooled))
         branches.append(
             jnp.broadcast_to(pooled,
                              (*x.shape[:-1], pooled.shape[-1])))
 
         y = jnp.concatenate(branches, axis=-1)
-        y = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+        y = nn.Conv(256, (1, 1), use_bias=self.folded, dtype=self.dtype,
                     name="project_conv")(y)
         y = nn.relu(norm("project_bn")(y))
         y = nn.Dropout(rate=0.5, deterministic=not train)(y)
@@ -107,16 +121,20 @@ class DeepLabHead(nn.Module):
 
     channels: int  # number of classes
     dtype: Dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_h=None):
-        x = ASPP(dtype=self.dtype, name="aspp")(x, train=train,
-                                                valid_h=valid_h)
+        x = ASPP(dtype=self.dtype, folded=self.folded, name="aspp")(
+            x, train=train, valid_h=valid_h)
         x = apply_row_mask(x, valid_h)
-        x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
+        x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=self.folded, dtype=self.dtype,
+                    name="conv")(x)
+        if not self.folded:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name="bn")(x)
         x = nn.relu(x)
         x = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
                     name="classifier")(x)

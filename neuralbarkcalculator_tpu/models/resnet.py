@@ -56,23 +56,32 @@ def apply_row_mask(x, valid_h):
 
 
 class Bottleneck(nn.Module):
-    """torchvision Bottleneck (expansion 4, stride on the 3x3 conv)."""
+    """torchvision Bottleneck (expansion 4, stride on the 3x3 conv).
+
+    ``folded``: inference-only mode where every BatchNorm has been
+    constant-folded into its producer conv's kernel + a bias
+    (models/fold.py) — the BN ops vanish from the traced graph and the
+    convs carry biases instead."""
 
     planes: int
     stride: int = 1
     dilation: int = 1
     has_downsample: bool = False
     dtype: Dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_h=None):
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name)
+        if self.folded and train:
+            raise ValueError("folded models are inference-only")
+        norm = lambda name: (  # noqa: E731
+            (lambda z: z) if self.folded else nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name=name))
         conv = lambda f, k, s, d, name: nn.Conv(  # noqa: E731
             f, (k, k), strides=(s, s),
             padding=[(d * (k // 2),) * 2] * 2,
-            kernel_dilation=(d, d), use_bias=False, dtype=self.dtype,
+            kernel_dilation=(d, d), use_bias=self.folded, dtype=self.dtype,
             name=name)
 
         identity = x
@@ -101,10 +110,12 @@ class DilatedResNet(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)  # resnet50
     replace_stride_with_dilation: Sequence[bool] = (False, True, True)
     dtype: Dtype = jnp.float32
+    folded: bool = False  # BN constant-folded into convs (models/fold.py)
 
     # Fixed symmetric conv padding makes zero-padded batches bit-exact
     # with per-image row masks (predict engine's ragged bucketing).
     supports_ragged = True
+    supports_fold = True
 
     @property
     def feature_stride(self) -> int:
@@ -117,12 +128,17 @@ class DilatedResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_h=None):
+        if self.folded and train:
+            raise ValueError("folded models are inference-only")
         # The raw input is zero below valid_h by construction (host pads
         # with zeros), so the stem conv needs no input mask.
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name="bn1")(x)
+                    use_bias=self.folded, dtype=self.dtype,
+                    name="conv1")(x)
+        if not self.folded:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name="bn1")(x)
         x = nn.relu(x)
         h = None if valid_h is None else conv_out_size(valid_h, 7, 2, 3)
         # max_pool mixes rows; masked zeros are equivalent to torch's -inf
@@ -151,6 +167,7 @@ class DilatedResNet(nn.Module):
                     has_downsample=first and (
                         stride != 1 or inplanes != planes * 4),
                     dtype=self.dtype,
+                    folded=self.folded,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train, valid_h=h)
                 inplanes = planes * 4

@@ -1,0 +1,132 @@
+"""BN constant-folding tests (models/fold.py, VERDICT r2 #2).
+
+Folded inference (BN -> conv kernel+bias) must reproduce the unfolded
+eval forward: logits to f32-rounding tolerance and identical argmax
+class maps on realistic content.
+"""
+import numpy as np
+import pytest
+
+
+def _init_model(factory, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    model = factory(dropout=0.0) if "dropout" in factory.__code__.co_varnames \
+        else factory()
+    variables = model.init(jax.random.PRNGKey(seed),
+                          jnp.zeros((1, 64, 64, 3)), train=False)
+    return model, variables
+
+
+def _realistic_stats(variables, rng):
+    """Random-init BN stats are mean=0/var=1 — give them non-trivial
+    values so folding actually has something to fold."""
+    import jax
+    return {
+        "params": variables["params"],
+        "batch_stats": jax.tree.map(
+            lambda v: v + np.abs(rng.normal(0, 0.05, v.shape)).astype(
+                v.dtype), variables["batch_stats"]),
+    }
+
+
+@pytest.mark.parametrize("name", ["fcn_resnet50", "deeplabv3_resnet50"])
+def test_folded_forward_matches_unfolded(name, rng):
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.models.fold import fold_model
+    from neuralbarkcalculator_tpu.models.segmentation import MODEL_FACTORIES
+
+    model, variables = _init_model(MODEL_FACTORIES[name])
+    variables = _realistic_stats(variables, rng)
+    folded, fvars = fold_model(model, variables)
+    assert "batch_stats" not in fvars
+
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    want = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(folded.apply(fvars, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+
+def test_folded_ragged_forward_matches(rng):
+    """Folding must preserve the ragged-batch machinery (valid_h row
+    masks + embedded row upsample operators)."""
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.models.fold import fold_model
+    from neuralbarkcalculator_tpu.models.segmentation import fcn_resnet50
+    from neuralbarkcalculator_tpu.ops.resize import embedded_bicubic_rows
+
+    model, variables = _init_model(fcn_resnet50)
+    variables = _realistic_stats(variables, rng)
+    folded, fvars = fold_model(model, variables)
+
+    pad_h = 64
+    heights = [64, 48]
+    x = np.zeros((2, pad_h, 64, 3), np.float32)
+    row_ops = np.zeros((2, pad_h, pad_h // 8), np.float32)
+    for i, h in enumerate(heights):
+        x[i, :h] = rng.normal(0, 1, (h, 64, 3))
+        feat_h = model.backbone.valid_feature_height(h)
+        row_ops[i] = embedded_bicubic_rows(feat_h, h, pad_h // 8, pad_h)
+    vh = np.asarray(heights, np.int32)
+
+    want = np.asarray(model.apply(variables, jnp.asarray(x), train=False,
+                                  valid_h=vh, row_upsample=row_ops))
+    got = np.asarray(folded.apply(fvars, jnp.asarray(x), train=False,
+                                  valid_h=vh, row_upsample=row_ops))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+
+def test_folded_train_mode_rejected(rng):
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.models.fold import fold_model
+    from neuralbarkcalculator_tpu.models.segmentation import fcn_resnet50
+
+    model, variables = _init_model(fcn_resnet50)
+    folded, fvars = fold_model(model, variables)
+    with pytest.raises(ValueError, match="inference-only"):
+        folded.apply(fvars, jnp.zeros((1, 64, 64, 3)), train=True)
+
+
+def test_fold_rejects_efficientnet():
+    from neuralbarkcalculator_tpu.models.fold import fold_model
+    from neuralbarkcalculator_tpu.models.segmentation import fcn_efficientnet
+
+    model = fcn_efficientnet(0)
+    with pytest.raises(ValueError, match="folded inference"):
+        fold_model(model, {"params": {}, "batch_stats": {"x": {
+            "mean": np.zeros(1)}}})
+
+
+def test_predict_engine_fold_matches_unfolded(tmp_path, rng):
+    """End-to-end: the engine with fold_bn=True produces the same class
+    maps as fold_bn=False (f32)."""
+    import flax.serialization
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+
+    model, variables = _init_model(
+        __import__("neuralbarkcalculator_tpu.models.segmentation",
+                   fromlist=["fcn_resnet50"]).fcn_resnet50)
+    variables = _realistic_stats(variables, rng)
+    ckpt = str(tmp_path / "m.msgpack")
+    with open(ckpt, "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+
+    items = [ProcessedImage(
+        (rng.random((h, 64, 3)) * 255).astype(np.uint8), f"i{k}.png",
+        "sapin") for k, h in enumerate([64, 48, 64, 32])]
+    maps = {}
+    for fold in (True, False):
+        config = PredictConfig(model_path=ckpt, batch_size=2,
+                               use_bfloat16=False, height_bucket=32,
+                               fold_bn=fold)
+        calc = NeuralBarkCalculator(ckpt, mesh=make_mesh(n_data=2),
+                                    config=config)
+        maps[fold] = [m for _, m in calc.predict_images(items)]
+    for a, b in zip(maps[True], maps[False]):
+        np.testing.assert_array_equal(a, b)
