@@ -4,6 +4,7 @@ import pytest
 
 
 @pytest.mark.parametrize("variant,inplanes", [(0, 1280), (2, 1408)])
+@pytest.mark.slow
 def test_feature_shapes(variant, inplanes):
     import jax
     import jax.numpy as jnp
@@ -42,6 +43,7 @@ def test_filter_rounding_matches_efficientnet_pytorch():
     assert round_repeats(1, 2.2) == 3
 
 
+@pytest.mark.slow
 def test_train_mode_with_drop_connect():
     import jax
     import jax.numpy as jnp

@@ -62,6 +62,7 @@ def test_lovasz_value_and_grad_wrt_logits():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_end_to_end_training_grad_parity():
     """d(loss)/d(params) through the whole converted fcn_resnet50 in train
     mode (BN batch stats, dropout off) matches torch autograd.

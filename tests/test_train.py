@@ -59,6 +59,7 @@ def test_splits_and_stats(experiment):
         experiment.pos_weight[2]  # inverse frequency ordering
 
 
+@pytest.mark.slow
 def test_train_runs_and_checkpoints(experiment):
     import jax
 
@@ -100,6 +101,7 @@ def test_best_model_loads_in_predict_engine(experiment, tmp_path):
     assert outs[0][1].shape == (48, 64)
 
 
+@pytest.mark.slow
 def test_evaluation_report(experiment, tmp_path):
     from neuralbarkcalculator_tpu.train.evaluate import evaluation_report
 
@@ -171,6 +173,7 @@ def test_plateau_and_early_stop():
     assert early.step(0.57, 4)
 
 
+@pytest.mark.slow
 def test_prioritized_sampler_training(data_root, tmp_path):
     """Optional prioritized-replay sampler (reference utils.py:354-456)
     trains end to end and updates its weights."""
@@ -187,6 +190,7 @@ def test_prioritized_sampler_training(data_root, tmp_path):
     assert len(history) == 1 and np.isfinite(history[0].loss)
 
 
+@pytest.mark.slow
 def test_training_resume(data_root, tmp_path):
     """Interrupted training resumes with optimizer state + scheduler
     history intact and continues from the next epoch."""
@@ -212,6 +216,7 @@ def test_training_resume(data_root, tmp_path):
     assert len(exp2.ckpts.log["epochs"]) == 3
 
 
+@pytest.mark.slow
 def test_host_resident_data_mode(data_root, tmp_path):
     """device_resident_data=False streams batches host->device per step;
     training must behave identically in structure (finite metrics,
@@ -275,6 +280,7 @@ def test_profiling_utils(capsys):
     assert profiling.report() == {}
 
 
+@pytest.mark.slow
 def test_experiment_with_deeplab_model(data_root, tmp_path):
     """Model-zoo selection: deeplab factories take no dropout kwarg
     (Experiment inspects the signature)."""
@@ -291,6 +297,7 @@ def test_experiment_with_deeplab_model(data_root, tmp_path):
     assert np.isfinite(history[0].loss)
 
 
+@pytest.mark.slow
 def test_evaluate_exact_across_meshes(data_root, tmp_path):
     """Padded eval batches must not bias metrics: evaluate() returns
     identical results on a (1,1) and a (4,1) mesh for a split size
@@ -316,6 +323,7 @@ def test_evaluate_exact_across_meshes(data_root, tmp_path):
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_experiment_starts_from_backbone_ckpt(data_root, tmp_path):
     """TrainConfig.backbone_ckpt: the Experiment's initial backbone params
     are the converted ImageNet weights (reference pretrained=True,
