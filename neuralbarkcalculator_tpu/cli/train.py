@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no_report", action="store_true", default=False,
                         help="skip the per-image evaluation report")
     parser.add_argument("--report_dpi", type=int, default=200)
+    parser.add_argument("--mpl", action="store_true", default=False,
+                        help="render report figures with matplotlib Agg "
+                             "instead of the first-party compositor")
     return parser
 
 
@@ -103,7 +106,8 @@ def main(args: argparse.Namespace) -> None:
     except FileNotFoundError:
         pass
     if not args.no_report:
-        evaluation_report(exp, args.root_dir, dpi=args.report_dpi)
+        evaluation_report(exp, args.root_dir, dpi=args.report_dpi,
+                          renderer="mpl" if args.mpl else "fast")
 
 
 if __name__ == "__main__":

@@ -38,13 +38,17 @@ from ..config import CLASS_NAMES
 VIRIDIS3 = np.array([[68, 1, 84], [33, 145, 140], [253, 231, 37]],
                     np.uint8)
 
-# Figure-fraction layout, measured from the rendered matplotlib figure
+# Figure-fraction layout, measured from the rendered matplotlib figures
 # (100 dpi, 640x480 canvas; fractions are dpi-independent). y is from the
-# TOP of the canvas.
+# TOP of the canvas. Keyed by panel count: 2 = predict's Input/Generated
+# figure, 3 = the eval report's Input/Target/Generated figure.
 _FIG_W_IN, _FIG_H_IN = 6.4, 4.8
-_PANEL_W, _PANEL_H = 0.46484375, 0.6197917  # axes box (both = 2.975 in)
-_PANEL_X = (0.0234375, 0.51171875)  # left edges of the two axes boxes
-_PANEL_Y = 0.2678  # top edge of the axes boxes (128.55/480)
+_LAYOUTS = {
+    2: {"x": (0.0234375, 0.51171875), "y": 0.2678,
+        "w": 0.46484375, "h": 0.6197917},
+    3: {"x": (0.02344, 0.34896, 0.67448), "y": 0.39854,
+        "w": 0.30208, "h": 0.40278},
+}
 _TITLE_GAP_FRAC = 0.009  # gap between title baseline box and axes top
 _SUPTITLE_Y = 0.02  # suptitle top (y=0.98 in mpl bottom-origin coords)
 # legend anchor: top-right corner of the legend frame sits at the
@@ -97,11 +101,13 @@ def _panel_classmap(cmap: np.ndarray, tw: int, th: int) -> Image.Image:
     return Image.fromarray(VIRIDIS3[small])
 
 
-def render_combined_fast(input_img: np.ndarray, class_map: np.ndarray,
-                         out_path: str, class_percents: list[float],
-                         dpi: int = 200) -> None:
-    """Drop-in twin of report.render_combined (same signature): the
-    side-by-side Input / Generated figure without matplotlib."""
+def render_figure_fast(panels, titles, suptitle: str,
+                       legend_values: list[int], out_path: str,
+                       dpi: int = 200) -> None:
+    """Generic N-panel figure: photo ([H,W,3]) / class-map ([H,W])
+    panels side by side with titles, a centered suptitle block, and the
+    class legend. Matches the matplotlib layout for 2 and 3 panels."""
+    layout = _LAYOUTS[len(panels)]
     W, H = round(_FIG_W_IN * dpi), round(_FIG_H_IN * dpi)
     canvas = Image.new("RGB", (W, H), "white")
     draw = ImageDraw.Draw(canvas, "RGBA")
@@ -109,41 +115,31 @@ def render_combined_fast(input_img: np.ndarray, class_map: np.ndarray,
     legend_f = _font(round(_LEGEND_PT / 72 * dpi))
 
     # ---- panels + titles
-    box_w, box_h = round(_PANEL_W * W), round(_PANEL_H * H)
-    names = ("Input", "Generated image")
-    panels = (input_img, class_map)
-    for i in range(2):
-        x0 = round(_PANEL_X[i] * W)
-        y0 = round(_PANEL_Y * H)
-        tw, th = _fit(panels[i].shape[:2], box_w, box_h)
+    box_w, box_h = round(layout["w"] * W), round(layout["h"] * H)
+    for i, (panel, name) in enumerate(zip(panels, titles)):
+        x0 = round(layout["x"][i] * W)
+        y0 = round(layout["y"] * H)
+        tw, th = _fit(panel.shape[:2], box_w, box_h)
         px = x0 + (box_w - tw) // 2
         py = y0 + (box_h - th) // 2
-        tile = (_panel_photo(panels[i], tw, th) if panels[i].ndim == 3
-                else _panel_classmap(panels[i], tw, th))
+        tile = (_panel_photo(panel, tw, th) if panel.ndim == 3
+                else _panel_classmap(panel.astype(np.uint8), tw, th))
         canvas.paste(tile, (px, py))
         # centered title just above the axes box (mpl pad ~4.3 px@100dpi)
-        tb = draw.textbbox((0, 0), names[i], font=title_f)
+        tb = draw.textbbox((0, 0), name, font=title_f)
         draw.text((x0 + (box_w - (tb[2] - tb[0])) / 2,
                    y0 - _TITLE_GAP_FRAC * H - (tb[3] - tb[1]) - tb[1]),
-                  names[i], font=title_f, fill="black")
+                  name, font=title_f, fill="black")
 
-    # ---- suptitle (3 centered lines, linespacing 1.2)
-    sup = "Estimated composition percentages\n" + "".join(
-        "{} : {:.3f}\n".format(n, p)
-        for n, p in zip(CLASS_NAMES[1:], class_percents))
-    sup = sup.rstrip("\n")
+    # ---- suptitle (centered lines, linespacing 1.2)
     line_h = round(_TITLE_PT / 72 * dpi * 1.2)
-    sb = draw.multiline_textbbox((0, 0), sup, font=title_f,
+    sb = draw.multiline_textbbox((0, 0), suptitle, font=title_f,
                                  spacing=line_h // 4, align="center")
     draw.multiline_text(((W - (sb[2] - sb[0])) / 2, _SUPTITLE_Y * H),
-                        sup, font=title_f, fill="black",
+                        suptitle, font=title_f, fill="black",
                         spacing=line_h // 4, align="center")
 
-    # ---- legend (present classes only, models.py:298-311);
-    # bincount == np.unique for a {0,1,2} uint8 map at ~1/30 the cost
-    counts = np.bincount(class_map.ravel(), minlength=3)
-    values = [v for v in range(3) if counts[v] > 0]
-    _draw_legend(draw, W, H, values, legend_f, dpi)
+    _draw_legend(draw, W, H, legend_values, legend_f, dpi)
 
     arr = np.asarray(canvas)
     try:
@@ -151,6 +147,22 @@ def render_combined_fast(input_img: np.ndarray, class_map: np.ndarray,
         save_image_u8_fast(out_path, arr, zlevel=2)
     except Exception:  # pragma: no cover
         canvas.save(out_path, format="PNG")
+
+
+def render_combined_fast(input_img: np.ndarray, class_map: np.ndarray,
+                         out_path: str, class_percents: list[float],
+                         dpi: int = 200) -> None:
+    """Drop-in twin of report.render_combined (same signature): the
+    side-by-side Input / Generated figure without matplotlib."""
+    sup = "Estimated composition percentages\n" + "".join(
+        "{} : {:.3f}\n".format(n, p)
+        for n, p in zip(CLASS_NAMES[1:], class_percents))
+    # bincount == np.unique for a {0,1,2} uint8 map at ~1/30 the cost
+    # (legend lists present classes only, models.py:298-311)
+    counts = np.bincount(class_map.ravel(), minlength=3)
+    values = [v for v in range(3) if counts[v] > 0]
+    render_figure_fast((input_img, class_map), ("Input", "Generated image"),
+                       sup.rstrip("\n"), values, out_path, dpi)
 
 
 def _draw_legend(draw: ImageDraw.ImageDraw, W: int, H: int,

@@ -21,19 +21,11 @@ from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
-import matplotlib
 import numpy as np
 
-matplotlib.use("Agg", force=False)
-
-import matplotlib.patches as mpatches  # noqa: E402
-from matplotlib.figure import Figure  # noqa: E402
-# object-oriented Figure API throughout: these render on a thread pool and
-# pyplot's global state is not thread-safe
-
-from ..config import CLASS_NAMES, NUM_CLASSES, WOOD_TYPES  # noqa: E402
-from ..data.dataset import save_image_u8  # noqa: E402
-from ..ops.metrics import (confusion_matrix, iou_from_confusion,  # noqa: E402
+from ..config import CLASS_NAMES, NUM_CLASSES, WOOD_TYPES
+from ..data.dataset import save_image_u8
+from ..ops.metrics import (confusion_matrix, iou_from_confusion,
                            pixelwise_f1)
 
 EVAL_CSV_HEADER = [
@@ -66,27 +58,13 @@ def _eval_image_metrics(logits, target):
 
 
 def render_eval_image(input_img, target, preds, fname, wood_type, split,
-                      ious, f1s, results_dir, dpi: int = 200) -> list[str]:
-    """One image's figure + dual PNG; returns its CSV row."""
-    from ..pipeline.report import display_subsample
-
+                      ious, f1s, results_dir, dpi: int = 200,
+                      renderer: str = "fast") -> list[str]:
+    """One image's figure + dual PNG; returns its CSV row. ``renderer``
+    as in pipeline/report.py: 'fast' = first-party compositor, 'mpl' =
+    matplotlib Agg (reference byte-style)."""
     names = ["Input", "Target", "Generated image"]
     values = np.unique(preds.ravel())
-    imgs = [display_subsample(x, dpi) for x in (input_img, target, preds)]
-    fig = Figure()
-    axs = fig.subplots(1, 3)
-    patches = []
-    for i, ax in enumerate(axs.flatten()):
-        img = imgs[i]
-        plotted = ax.imshow(img, vmax=2)
-        ax.set_title(names[i])
-        ax.axis("off")
-        if img.ndim == 2:
-            patches = [
-                mpatches.Patch(color=plotted.cmap(plotted.norm(v)),
-                               label="{} zone".format(CLASS_NAMES[v]))
-                for v in values
-            ]
 
     row = [fname, wood_type, split]
     suptitle = "Mean iou : {:.3f}\n".format(float(np.mean(ious)))
@@ -106,15 +84,16 @@ def render_eval_image(input_img, target, preds, fname, wood_type, split,
         row.append("{:.5f}".format(100.0 * float(np.mean(
             target == class_idx))))
 
-    fig.legend(handles=patches, title="Classes",
-               bbox_to_anchor=(0.4, -0.2, 0.5, 0.5))
-    fig.suptitle(suptitle)
-    try:
-        fig.tight_layout()
-    except Exception:
-        pass
-    fig.savefig(os.path.join(results_dir, "combined_images", wood_type,
-                             split, fname), format="png", dpi=dpi)
+    fig_path = os.path.join(results_dir, "combined_images", wood_type,
+                            split, fname)
+    if renderer == "fast":
+        from ..pipeline.compositor import render_figure_fast
+        render_figure_fast((input_img, target, preds), names,
+                           suptitle.rstrip("\n"),
+                           [int(v) for v in values], fig_path, dpi)
+    else:
+        _render_eval_mpl(input_img, target, preds, names, values,
+                         suptitle, fig_path, dpi)
 
     dual = np.zeros(preds.shape, np.uint8)
     dual[preds == 1] = 127
@@ -124,8 +103,44 @@ def render_eval_image(input_img, target, preds, fname, wood_type, split,
     return row
 
 
+def _render_eval_mpl(input_img, target, preds, names, values, suptitle,
+                     fig_path, dpi):
+    """matplotlib Agg 3-panel eval figure (lazy import; thread-safe
+    object-oriented Figure API — pyplot's global state is not)."""
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.patches as mpatches
+    from matplotlib.figure import Figure
+
+    from ..pipeline.report import display_subsample
+
+    imgs = [display_subsample(x, dpi) for x in (input_img, target, preds)]
+    fig = Figure()
+    axs = fig.subplots(1, 3)
+    patches = []
+    for i, ax in enumerate(axs.flatten()):
+        img = imgs[i]
+        plotted = ax.imshow(img, vmax=2)
+        ax.set_title(names[i])
+        ax.axis("off")
+        if img.ndim == 2:
+            patches = [
+                mpatches.Patch(color=plotted.cmap(plotted.norm(v)),
+                               label="{} zone".format(CLASS_NAMES[v]))
+                for v in values
+            ]
+    fig.legend(handles=patches, title="Classes",
+               bbox_to_anchor=(0.4, -0.2, 0.5, 0.5))
+    fig.suptitle(suptitle)
+    try:
+        fig.tight_layout()
+    except Exception:
+        pass
+    fig.savefig(fig_path, format="png", dpi=dpi)
+
+
 def evaluation_report(experiment, root_dir: str, dpi: int = 200,
-                      workers: int = 8) -> str:
+                      workers: int = 8, renderer: str = "fast") -> str:
     """Render the full report over all splits with the experiment's current
     weights (reference runs it on load_checkpoint(11), __main__.py:298).
 
@@ -165,7 +180,7 @@ def evaluation_report(experiment, root_dir: str, dpi: int = 200,
                 np.asarray(m["preds"]), experiment.fnames[i],
                 experiment.wood_types[i], split_of[i],
                 np.asarray(m["iou"]), np.asarray(m["f1"]),
-                results_dir, dpi))
+                results_dir, dpi, renderer))
         rows = [f.result() for f in futures]
 
     csv_file = os.path.join(results_dir, "final_stats.csv")

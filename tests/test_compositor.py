@@ -61,6 +61,31 @@ def test_legend_lists_present_classes_only(sample, tmp_path):
     assert (np.all(arr == VIRIDIS3[1], axis=1)).sum() > 50
 
 
+def test_three_panel_eval_figure(sample, tmp_path):
+    """The generic renderer also draws the eval report's 3-panel
+    Input/Target/Generated layout, and render_eval_image produces the
+    same CSV row under both renderers."""
+    from neuralbarkcalculator_tpu.train.evaluate import render_eval_image
+
+    img, cmap, _ = sample
+    target = np.roll(cmap, 7, axis=0)
+    ious = np.array([50.0, 60.0, 70.0])
+    f1s = np.array([55.0, 65.0, 75.0])
+    rows = {}
+    for renderer, fname in (("fast", "a.png"), ("mpl", "b.png")):
+        for sub in ("combined_images", "outputs"):
+            os.makedirs(os.path.join(tmp_path, sub, "sapin", "test"),
+                        exist_ok=True)
+        rows[renderer] = render_eval_image(
+            img, target, cmap, fname, "sapin", "test", ious, f1s,
+            str(tmp_path), dpi=80, renderer=renderer)
+        out = os.path.join(tmp_path, "combined_images", "sapin", "test",
+                           fname)
+        w, h = Image.open(out).size
+        assert (w, h) == (512, 384)
+    assert rows["fast"][3:] == rows["mpl"][3:]
+
+
 def test_reporter_renderer_switch(sample, tmp_path):
     """PredictReporter(renderer=...) routes to the right backend and both
     produce the artifact set."""
