@@ -32,6 +32,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -103,6 +104,52 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity.astype(out.dtype))
 
 
+class _S2DStemConv(nn.Module):
+    """The 7x7/s2 stem conv evaluated as a 4x4/s1 conv over 2x2
+    space-to-depth blocks — the standard TPU CNN trick for thin-channel
+    stems: the MXU contracts over input channels, and C_in=3 wastes
+    nearly the whole 128-lane dimension; blocking 2x2 pixels into
+    channels gives a 4x4 x 12-channel contraction (48 vs 21 useful
+    values per tap column) on a quarter the spatial grid.
+
+    Exactness: with r = 2i + dy - 3 (dy in 0..6 of the original kernel),
+    block row R = r//2 spans i-2..i+1, so the block conv has 4 taps with
+    padding (2, 1); tap (DY, p) reads original dy = 2*DY + p - 1, with
+    dy = -1 zero-padded. Zero padding in block space equals the original
+    conv's zero padding, so ragged row masking stays exact.
+
+    Parameters are IDENTICAL to the plain nn.Conv stem ('kernel'
+    [7,7,3,64], plus 'bias' when folded) — checkpoints load unchanged
+    and the rearrangement runs inside the traced program (a few-KB
+    gather XLA hoists out of the hot loop).
+    """
+
+    folded: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, 64))
+        b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            raise ValueError(f"s2d stem needs even H, W; got {h}x{w}")
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2,
+                                                    4 * c)
+        k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k = k.reshape(4, 2, 4, 2, c, 64).transpose(0, 2, 1, 3, 4, 5)
+        k = k.reshape(4, 4, 4 * c, 64)
+        y = jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), k.astype(self.dtype), (1, 1),
+            ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.folded:
+            bias = self.param("bias", nn.initializers.zeros, (64,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class DilatedResNet(nn.Module):
     """ResNet backbone with stride->dilation replacement, returning the
     layer4 feature map (the IntermediateLayerGetter 'out')."""
@@ -111,6 +158,7 @@ class DilatedResNet(nn.Module):
     replace_stride_with_dilation: Sequence[bool] = (False, True, True)
     dtype: Dtype = jnp.float32
     folded: bool = False  # BN constant-folded into convs (models/fold.py)
+    s2d_stem: bool = False  # stem as space-to-depth conv (_S2DStemConv)
 
     # Fixed symmetric conv padding makes zero-padded batches bit-exact
     # with per-image row masks (predict engine's ragged bucketing).
@@ -132,9 +180,13 @@ class DilatedResNet(nn.Module):
             raise ValueError("folded models are inference-only")
         # The raw input is zero below valid_h by construction (host pads
         # with zeros), so the stem conv needs no input mask.
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=self.folded, dtype=self.dtype,
-                    name="conv1")(x)
+        if self.s2d_stem:
+            x = _S2DStemConv(folded=self.folded, dtype=self.dtype,
+                             name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=[(3, 3), (3, 3)], use_bias=self.folded,
+                        dtype=self.dtype, name="conv1")(x)
         if not self.folded:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32,

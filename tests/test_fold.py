@@ -130,3 +130,35 @@ def test_predict_engine_fold_matches_unfolded(tmp_path, rng):
         maps[fold] = [m for _, m in calc.predict_images(items)]
     for a, b in zip(maps[True], maps[False]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_s2d_stem_matches_plain_conv(rng):
+    """The space-to-depth stem (models/resnet._S2DStemConv) must match
+    the plain 7x7/s2 conv to f32 rounding, including at zero-padded
+    borders, with identical parameter trees."""
+    import jax
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.models.resnet import DilatedResNet
+
+    plain = DilatedResNet(stage_sizes=(1,), s2d_stem=False)
+    s2d = DilatedResNet(stage_sizes=(1,), s2d_stem=True)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+    # identical param trees -> same checkpoints load into both
+    v2 = s2d.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v2)
+
+    want = np.asarray(plain.apply(variables, x, train=False))
+    got = np.asarray(s2d.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # ragged: zero rows beyond valid_h stay exact
+    vh = np.array([64, 48], np.int32)
+    xm = np.asarray(x).copy()
+    xm[1, 48:] = 0.0
+    want = np.asarray(plain.apply(variables, jnp.asarray(xm),
+                                  train=False, valid_h=vh))
+    got = np.asarray(s2d.apply(variables, jnp.asarray(xm), train=False,
+                               valid_h=vh))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
