@@ -79,28 +79,34 @@ class MBConv(nn.Module):
     se_ratio: float = 0.25
     drop_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    folded: bool = False  # BN folded into convs (models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            dtype=jnp.float32, name=name)
+        if self.folded and train:
+            raise ValueError("folded models are inference-only")
+        norm = lambda name: (  # noqa: E731
+            (lambda z: z) if self.folded else nn.BatchNorm(
+                use_running_average=not train, momentum=0.99,
+                epsilon=1e-3, dtype=jnp.float32, name=name))
         in_ch = x.shape[-1]
         h = x
         if self.expand_ratio != 1:
-            h = nn.Conv(in_ch * self.expand_ratio, (1, 1), use_bias=False,
-                        dtype=self.dtype, name="expand_conv")(h)
+            h = nn.Conv(in_ch * self.expand_ratio, (1, 1),
+                        use_bias=self.folded, dtype=self.dtype,
+                        name="expand_conv")(h)
             h = nn.swish(norm("bn0")(h))
         h = nn.Conv(h.shape[-1], (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
-                    feature_group_count=h.shape[-1], use_bias=False,
+                    feature_group_count=h.shape[-1],
+                    use_bias=self.folded,
                     dtype=self.dtype, name="depthwise_conv")(h)
         h = nn.swish(norm("bn1")(h))
         if self.se_ratio > 0:
             h = SqueezeExcite(max(1, int(in_ch * self.se_ratio)),
                               dtype=self.dtype, name="se")(h)
-        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="project_conv")(h)
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=self.folded,
+                    dtype=self.dtype, name="project_conv")(h)
         h = norm("bn2")(h)
         if self.stride == 1 and in_ch == self.out_ch:
             if train and self.drop_rate > 0:
@@ -125,12 +131,15 @@ class EfficientNetFeatures(nn.Module):
     variant: int = 0
     drop_connect_rate: float = 0.2
     dtype: Dtype = jnp.float32
+    folded: bool = False  # BN folded into convs (models/fold.py)
 
     # TF-SAME stride-2 padding phase depends on the true input height, so
     # zero-padded batches cannot be made bit-exact (see __call__); the
     # predict engine falls back to exact-height bucketing (one compiled
     # program per distinct trimmed height) for this backbone.
     supports_ragged = False
+    supports_fold = True
+    bn_eps = 1e-3  # efficientnet_pytorch BatchNorm eps (models/fold.py)
     feature_stride = 32
 
     @nn.compact
@@ -145,14 +154,17 @@ class EfficientNetFeatures(nn.Module):
         # would hold only for heights that are multiples of 32.
         # Ragged batched inference therefore uses the ResNet models.
         del valid_h
+        if self.folded and train:
+            raise ValueError("folded models are inference-only")
         width_mult, depth_mult = SCALING[self.variant]
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.99, epsilon=1e-3,
-            dtype=jnp.float32, name=name)
+        norm = lambda name: (  # noqa: E731
+            (lambda z: z) if self.folded else nn.BatchNorm(
+                use_running_average=not train, momentum=0.99,
+                epsilon=1e-3, dtype=jnp.float32, name=name))
 
         x = nn.Conv(round_filters(32, width_mult), (3, 3), strides=(2, 2),
-                    padding="SAME", use_bias=False, dtype=self.dtype,
-                    name="stem_conv")(x)
+                    padding="SAME", use_bias=self.folded,
+                    dtype=self.dtype, name="stem_conv")(x)
         x = nn.swish(norm("stem_bn")(x))
 
         total_blocks = sum(round_repeats(r, depth_mult)
@@ -166,12 +178,13 @@ class EfficientNetFeatures(nn.Module):
                            kernel=kernel, stride=stride if i == 0 else 1,
                            drop_rate=self.drop_connect_rate
                            * block_idx / total_blocks,
-                           dtype=self.dtype,
+                           dtype=self.dtype, folded=self.folded,
                            name=f"block{stage}_{i}")(x, train=train)
                 block_idx += 1
 
         x = nn.Conv(EFFICIENTNET_INPLANES[self.variant], (1, 1),
-                    use_bias=False, dtype=self.dtype, name="head_conv")(x)
+                    use_bias=self.folded, dtype=self.dtype,
+                    name="head_conv")(x)
         return nn.swish(norm("head_bn")(x))
 
     def valid_feature_height(self, valid_h):

@@ -164,6 +164,7 @@ class DilatedResNet(nn.Module):
     # with per-image row masks (predict engine's ragged bucketing).
     supports_ragged = True
     supports_fold = True
+    bn_eps = 1e-5  # torchvision BatchNorm2d default (models/fold.py)
 
     @property
     def feature_stride(self) -> int:

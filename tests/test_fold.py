@@ -90,14 +90,27 @@ def test_folded_train_mode_rejected(rng):
         folded.apply(fvars, jnp.zeros((1, 64, 64, 3)), train=True)
 
 
-def test_fold_rejects_efficientnet():
+def test_folded_efficientnet_matches_unfolded(rng):
+    """EfficientNet folds too: MBConv bn0/bn1/bn2 (eps 1e-3, incl. the
+    depthwise conv) + stem/head BNs map via the explicit table, while
+    the FCN head keeps its torchvision eps 1e-5."""
+    import jax
+    import jax.numpy as jnp
     from neuralbarkcalculator_tpu.models.fold import fold_model
     from neuralbarkcalculator_tpu.models.segmentation import fcn_efficientnet
 
-    model = fcn_efficientnet(0)
-    with pytest.raises(ValueError, match="folded inference"):
-        fold_model(model, {"params": {}, "batch_stats": {"x": {
-            "mean": np.zeros(1)}}})
+    model = fcn_efficientnet(0, dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    variables = _realistic_stats(variables, rng)
+    folded, fvars = fold_model(model, variables)
+    assert "batch_stats" not in fvars
+
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    want = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(folded.apply(fvars, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(want, -1))
 
 
 def test_predict_engine_fold_matches_unfolded(tmp_path, rng):
