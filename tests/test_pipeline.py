@@ -367,3 +367,28 @@ def test_preprocess_backend_env_override(root, monkeypatch):
     assert p._resolve_backend() == "host"
     monkeypatch.setenv("NEURALBARK_PREPROCESS", "device")
     assert Preprocessor(backend="auto")._resolve_backend() == "device"
+
+
+def test_predict_odd_width_unpacked(checkpoint):
+    """Widths not divisible by 4 skip the 2-bit packed pull and still
+    produce correct maps through the unpacked path."""
+    import numpy as np
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+
+    ckpt_path, _, _ = checkpoint
+    config = PredictConfig(model_path=ckpt_path, batch_size=2,
+                           use_bfloat16=False, height_bucket=32)
+    calc = NeuralBarkCalculator(ckpt_path, mesh=make_mesh(n_data=2),
+                                config=config)
+    rng = np.random.default_rng(3)
+    items = [ProcessedImage(
+        (rng.random((48, w, 3)) * 255).astype(np.uint8), f"i{k}.png",
+        "sapin") for k, w in enumerate([66, 66])]
+    outs = list(calc.predict_images(items))
+    assert len(outs) == 2
+    for item, cmap in outs:
+        assert cmap.shape == (48, 66) and cmap.dtype == np.uint8
+        assert set(np.unique(cmap)).issubset({0, 1, 2})
