@@ -98,7 +98,7 @@ def _panel_classmap(cmap: np.ndarray, tw: int, th: int) -> Image.Image:
     only differs along zone boundaries)."""
     small = np.asarray(
         Image.fromarray(cmap).resize((tw, th), Image.NEAREST))
-    return Image.fromarray(VIRIDIS3[small])
+    return Image.fromarray(VIRIDIS3[np.minimum(small, 2)])
 
 
 def render_figure_fast(panels, titles, suptitle: str,
