@@ -233,16 +233,23 @@ class Preprocessor:
                         save_futures.append(
                             pool.submit(save_image_u8, path, processed))
 
-            # double-buffered: the next batch's host->device transfer and
-            # resize dispatch before the current batch's results are
-            # pulled, so the (tunnel-bound) transfers overlap host work
+            # double-buffered, with the launch (stack + host->device
+            # transfer + dispatch) on a worker thread: jnp.asarray of a
+            # 4096^2 uint8 batch blocks its calling thread for the whole
+            # transfer, and on a bandwidth-bound link that upload must
+            # overlap the previous batch's result pull and PNG encodes —
+            # not serialize with them on the main thread (same fix as
+            # predict._run_chunks).
             for group in _shape_batches(iterator, self.batch_size):
                 keyed, imgs = zip(*group)
-                pending.append((keyed, self._launch_shape_batch(imgs)))
+                pending.append((keyed, pool.submit(
+                    self._launch_shape_batch, imgs)))
                 if len(pending) >= 2:
-                    finish(*pending.popleft())
+                    keyed_done, fut = pending.popleft()
+                    finish(keyed_done, fut.result())
             while pending:
-                finish(*pending.popleft())
+                keyed_done, fut = pending.popleft()
+                finish(keyed_done, fut.result())
             for fut in save_futures:
                 fut.result()
         return results  # type: ignore[return-value]
