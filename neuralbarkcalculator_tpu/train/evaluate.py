@@ -166,21 +166,31 @@ def evaluation_report(experiment, root_dir: str, dpi: int = 200,
         x = (batch_u8.astype(jnp.float32) / 255.0 - mean) / std
         return model.apply(variables, x, train=False)
 
+    n = len(experiment.fnames)
+    batch = 8  # images per device forward (all pad_resize'd alike);
+    # metrics stay per-image (each is a tiny device program)
     rows: list[list[str]] = []
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futures = []
-        for i in range(len(experiment.fnames)):
+        for start in range(0, n, batch):
+            idxs = list(range(start, min(n, start + batch)))
             # works for both HBM-resident and host-resident datasets
-            input_img = np.asarray(experiment.images[i])
-            target = np.asarray(experiment.labels[i]).astype(np.int32)
-            logits = forward(jnp.asarray(input_img[None]))
-            m = _eval_image_metrics(logits[0], jnp.asarray(target))
-            futures.append(pool.submit(
-                render_eval_image, input_img, target,
-                np.asarray(m["preds"]), experiment.fnames[i],
-                experiment.wood_types[i], split_of[i],
-                np.asarray(m["iou"]), np.asarray(m["f1"]),
-                results_dir, dpi, renderer))
+            imgs = [np.asarray(experiment.images[i]) for i in idxs]
+            stack = np.stack(imgs)
+            if len(idxs) < batch:  # pad the tail chunk: one compiled
+                # program shape instead of a ~30 s remainder recompile
+                pad = np.repeat(stack[-1:], batch - len(idxs), axis=0)
+                stack = np.concatenate([stack, pad], axis=0)
+            logits = forward(jnp.asarray(stack))
+            for k, i in enumerate(idxs):
+                target = np.asarray(experiment.labels[i]).astype(np.int32)
+                m = _eval_image_metrics(logits[k], jnp.asarray(target))
+                futures.append(pool.submit(
+                    render_eval_image, imgs[k], target,
+                    np.asarray(m["preds"]), experiment.fnames[i],
+                    experiment.wood_types[i], split_of[i],
+                    np.asarray(m["iou"]), np.asarray(m["f1"]),
+                    results_dir, dpi, renderer))
         rows = [f.result() for f in futures]
 
     csv_file = os.path.join(results_dir, "final_stats.csv")
