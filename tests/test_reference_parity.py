@@ -114,10 +114,16 @@ def _engine_raw_argmax(calc, item):
     image, before the host postprocess."""
     from neuralbarkcalculator_tpu.parallel.mesh import pad_to_multiple
 
+    from neuralbarkcalculator_tpu.pipeline.predict import _UNPACK2
+
     pad_h = pad_to_multiple(item.image.shape[0],
                             calc.config.height_bucket)
     _, _, fut = calc._launch_batch([item], pad_h)
-    return np.asarray(fut)[0, :item.image.shape[0]].astype(np.int32)
+    out = np.asarray(fut)
+    w = item.image.shape[1]
+    if out.shape[2] != w:  # 2-bit packed pull (see predict._pack2bit)
+        out = _UNPACK2[out].reshape(out.shape[0], out.shape[1], -1)
+    return out[0, :item.image.shape[0]].astype(np.int32)
 
 
 def test_spatial_sharding_equivalence(rng):
