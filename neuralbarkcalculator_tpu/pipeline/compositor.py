@@ -151,18 +151,23 @@ def render_figure_fast(panels, titles, suptitle: str,
 
 def render_combined_fast(input_img: np.ndarray, class_map: np.ndarray,
                          out_path: str, class_percents: list[float],
-                         dpi: int = 200) -> None:
+                         dpi: int = 200,
+                         legend_values: list[int] | None = None) -> None:
     """Drop-in twin of report.render_combined (same signature): the
-    side-by-side Input / Generated figure without matplotlib."""
+    side-by-side Input / Generated figure without matplotlib.
+
+    ``legend_values``: present classes if the caller already counted them
+    (PredictReporter shares one bincount between CSV and legend)."""
     sup = "Estimated composition percentages\n" + "".join(
         "{} : {:.3f}\n".format(n, p)
         for n, p in zip(CLASS_NAMES[1:], class_percents))
-    # bincount == np.unique for a {0,1,2} uint8 map at ~1/30 the cost
-    # (legend lists present classes only, models.py:298-311)
-    counts = np.bincount(class_map.ravel(), minlength=3)
-    values = [v for v in range(3) if counts[v] > 0]
+    if legend_values is None:
+        # bincount == np.unique for a {0,1,2} uint8 map at ~1/30 the cost
+        # (legend lists present classes only, models.py:298-311)
+        counts = np.bincount(class_map.ravel(), minlength=3)
+        legend_values = [v for v in range(3) if counts[v] > 0]
     render_figure_fast((input_img, class_map), ("Input", "Generated image"),
-                       sup.rstrip("\n"), values, out_path, dpi)
+                       sup.rstrip("\n"), legend_values, out_path, dpi)
 
 
 def _draw_legend(draw: ImageDraw.ImageDraw, W: int, H: int,

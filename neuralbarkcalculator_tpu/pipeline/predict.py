@@ -82,6 +82,9 @@ class NeuralBarkCalculator:
         # up on height-diverse folders, bit-exact always.
         self._exact_heights = not getattr(self.model.backbone,
                                           "supports_ragged", True)
+        # device-resident cache of the per-height bicubic row operators
+        # (see _row_op_dev); keyed (h, pad_h), bounded LRU-ish
+        self._rowop_cache: dict[tuple[int, int], jax.Array] = {}
 
     def _bucket_of(self, h: int) -> int:
         if self._exact_heights:
@@ -301,24 +304,46 @@ class NeuralBarkCalculator:
                 f"height bucket {pad_h} must be a multiple of 8 (the "
                 f"model's output stride); set PredictConfig.height_bucket "
                 f"accordingly")
-        row_ops = np.zeros((n_pad, pad_h, pad_h // 8), np.float32)
+        ops = []
         for i, item in enumerate(items):
             h = item.image.shape[0]
             batch[i, :h] = item.image
             valid_h[i] = h
-            feat_h = self.model.backbone.valid_feature_height(h)
-            row_ops[i] = embedded_bicubic_rows(feat_h, h, pad_h // 8, pad_h)
+            ops.append(self._row_op_dev(h, pad_h))
         for i in range(n, n_pad):  # dummies reuse image 0's operator shape
             valid_h[i] = items[0].image.shape[0]
-            row_ops[i] = row_ops[0]
+            ops.append(ops[0])
 
         with stage_timer(f"predict/dispatch_h{pad_h}"):
+            # the row operators are already device-resident (per-height
+            # cache): stacking them is an on-device concat + reshard, so
+            # the chunk upload moves only the uint8 pixels — at pad 1024
+            # the [B, 1024, 128] f32 operators would add ~17% bytes to a
+            # bandwidth-bound host->device link (512 KB vs 3 MB per image)
+            row_ops = jax.device_put(jnp.stack(ops), self.rules.batch)
             fut = self._device_step(pad_h, n_pad, pack=pack)(
                 self.variables,
                 jax.device_put(batch, self.rules.image_batch),
                 jax.device_put(valid_h, self.rules.batch),
-                jax.device_put(row_ops, self.rules.batch))
+                row_ops)
         return items, valid_h, fut
+
+    def _row_op_dev(self, h: int, pad_h: int) -> "jax.Array":
+        """The embedded (feat_h -> h) bicubic row operator for one trimmed
+        height, uploaded once and cached on device (replicated). Numerics
+        are identical to uploading per batch — the same host-built f32
+        matrix (ops/resize.embedded_bicubic_rows) is the cache value."""
+        key = (h, pad_h)
+        op = self._rowop_cache.get(key)
+        if op is None:
+            feat_h = self.model.backbone.valid_feature_height(h)
+            op = jax.device_put(
+                embedded_bicubic_rows(feat_h, h, pad_h // 8, pad_h),
+                self.rules.replicated)
+            if len(self._rowop_cache) >= 128:  # bound HBM: 128 x 512 KB
+                self._rowop_cache.pop(next(iter(self._rowop_cache)))
+            self._rowop_cache[key] = op  # benign race across pump threads
+        return op
 
     def _postprocess(self, preds_u8: np.ndarray, valid_h: np.ndarray,
                      exclude_nodes: bool) -> np.ndarray:

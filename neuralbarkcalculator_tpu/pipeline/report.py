@@ -164,23 +164,34 @@ class PredictReporter:
         """Render artifacts + record the CSV row. ``order`` fixes the row's
         position in final_stats.csv (the reference writes rows in dataset
         order, models.py:358; batched compute may finish out of order)."""
-        percents = self.add_row_only(class_map, fname, wood_type, order)
+        counts3 = np.bincount(class_map.ravel(), minlength=3)
+        percents = self.add_row_only(class_map, fname, wood_type, order,
+                                     counts3=counts3)
         combined = os.path.join(self.results_dir, "combined_images",
                                 wood_type, fname)
         dual = os.path.join(self.results_dir, "outputs", wood_type, fname)
-        render = (render_combined_fast if self.renderer == "fast"
-                  else render_combined)
-        self._futures.append(self._pool.submit(
-            render, input_img, class_map, combined, percents, self.dpi))
+        if self.renderer == "fast":
+            # reuse the class counts: the fast renderer's legend lists
+            # present classes only (models.py:298-311) and would otherwise
+            # re-count the full-resolution map
+            values = [v for v in range(3) if counts3[v] > 0]
+            self._futures.append(self._pool.submit(
+                render_combined_fast, input_img, class_map, combined,
+                percents, self.dpi, values))
+        else:
+            self._futures.append(self._pool.submit(
+                render_combined, input_img, class_map, combined,
+                percents, self.dpi))
         self._futures.append(self._pool.submit(save_dual, class_map, dual))
 
     def add_row_only(self, class_map: np.ndarray, fname: str,
-                     wood_type: str,
-                     order: int | None = None) -> list[float]:
+                     wood_type: str, order: int | None = None,
+                     counts3: np.ndarray | None = None) -> list[float]:
         """CSV bookkeeping without artifact rendering (resume path: the
         artifacts already exist on disk)."""
-        counts = np.array([
-            int(np.sum(class_map == 1)), int(np.sum(class_map == 2))])
+        if counts3 is None:
+            counts3 = np.bincount(class_map.ravel(), minlength=3)
+        counts = np.array([int(counts3[1]), int(counts3[2])])
         row, percents = class_stats_row(
             fname, wood_type, counts, class_map.size, self.mm_per_pix)
         self._rows.append((self._order if order is None else order, row))
