@@ -175,7 +175,9 @@ def main() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     config = PredictConfig(model_path=ckpt, figure_dpi=DPI,
-                           batch_size=batch)
+                           batch_size=batch,
+                           prefetch=int(os.environ.get("BENCH_PREFETCH",
+                                                       "2")))
     stats = model_norm_stats(ckpt)
     if stats is not None:
         config.mean, config.std = stats

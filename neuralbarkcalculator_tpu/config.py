@@ -131,3 +131,7 @@ class PredictConfig:
     # batch_stats) into conv kernels+biases at load (models/fold.py) —
     # removes every BN elementwise pass from the inference graph;
     # backbones without fold support fall back to the unfolded forward
+    prefetch: int = 2  # chunks in flight in the predict pump: each holds
+    # its host batch + device buffers + pulled maps (~30 MB per chunk of
+    # 8 at 1024^2), and higher values keep a slow host<->device link busy
+    # across the decode/upload/pull/render streams

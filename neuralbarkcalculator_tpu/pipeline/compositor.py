@@ -101,22 +101,48 @@ def _panel_classmap(cmap: np.ndarray, tw: int, th: int) -> Image.Image:
     return Image.fromarray(VIRIDIS3[np.minimum(small, 2)])
 
 
+@functools.lru_cache(maxsize=16)
+def _static_canvas(n_panels: int, titles: tuple[str, ...],
+                   dpi: int) -> Image.Image:
+    """The image-independent figure base — white canvas + panel titles —
+    drawn once per (panel count, titles, dpi) and copied per figure. In a
+    folder run every figure shares this, so the FreeType work is paid
+    once, not per image (the suptitle varies per image and stays
+    dynamic; the legend is a cached overlay, ``_legend_patch``)."""
+    layout = _LAYOUTS[n_panels]
+    W, H = round(_FIG_W_IN * dpi), round(_FIG_H_IN * dpi)
+    canvas = Image.new("RGB", (W, H), "white")
+    draw = ImageDraw.Draw(canvas)
+    title_f = _font(round(_TITLE_PT / 72 * dpi))
+    box_w = round(layout["w"] * W)
+    for i, name in enumerate(titles):
+        x0 = round(layout["x"][i] * W)
+        y0 = round(layout["y"] * H)
+        # centered title just above the axes box (mpl pad ~4.3 px@100dpi)
+        tb = draw.textbbox((0, 0), name, font=title_f)
+        draw.text((x0 + (box_w - (tb[2] - tb[0])) / 2,
+                   y0 - _TITLE_GAP_FRAC * H - (tb[3] - tb[1]) - tb[1]),
+                  name, font=title_f, fill="black")
+    return canvas
+
+
 def render_figure_fast(panels, titles, suptitle: str,
                        legend_values: list[int], out_path: str,
                        dpi: int = 200) -> None:
     """Generic N-panel figure: photo ([H,W,3]) / class-map ([H,W])
     panels side by side with titles, a centered suptitle block, and the
-    class legend. Matches the matplotlib layout for 2 and 3 panels."""
+    class legend (drawn last — it overlays the right panel, matching
+    matplotlib's fig.legend z-order). Matches the matplotlib layout for
+    2 and 3 panels."""
     layout = _LAYOUTS[len(panels)]
     W, H = round(_FIG_W_IN * dpi), round(_FIG_H_IN * dpi)
-    canvas = Image.new("RGB", (W, H), "white")
+    canvas = _static_canvas(len(panels), tuple(titles), dpi).copy()
     draw = ImageDraw.Draw(canvas, "RGBA")
     title_f = _font(round(_TITLE_PT / 72 * dpi))
-    legend_f = _font(round(_LEGEND_PT / 72 * dpi))
 
-    # ---- panels + titles
+    # ---- panels
     box_w, box_h = round(layout["w"] * W), round(layout["h"] * H)
-    for i, (panel, name) in enumerate(zip(panels, titles)):
+    for i, panel in enumerate(panels):
         x0 = round(layout["x"][i] * W)
         y0 = round(layout["y"] * H)
         tw, th = _fit(panel.shape[:2], box_w, box_h)
@@ -125,11 +151,6 @@ def render_figure_fast(panels, titles, suptitle: str,
         tile = (_panel_photo(panel, tw, th) if panel.ndim == 3
                 else _panel_classmap(panel.astype(np.uint8), tw, th))
         canvas.paste(tile, (px, py))
-        # centered title just above the axes box (mpl pad ~4.3 px@100dpi)
-        tb = draw.textbbox((0, 0), name, font=title_f)
-        draw.text((x0 + (box_w - (tb[2] - tb[0])) / 2,
-                   y0 - _TITLE_GAP_FRAC * H - (tb[3] - tb[1]) - tb[1]),
-                  name, font=title_f, fill="black")
 
     # ---- suptitle (centered lines, linespacing 1.2)
     line_h = round(_TITLE_PT / 72 * dpi * 1.2)
@@ -139,7 +160,14 @@ def render_figure_fast(panels, titles, suptitle: str,
                         suptitle, font=title_f, fill="black",
                         spacing=line_h // 4, align="center")
 
-    _draw_legend(draw, W, H, legend_values, legend_f, dpi)
+    # ---- legend overlay (cached RGBA patch, alpha-composited on top —
+    # same placement math as the direct draw: frame right edge at
+    # _LEGEND_RIGHT x minus a 0.5 em inset, top at _LEGEND_RIGHT y plus)
+    patch = _legend_patch(tuple(legend_values), dpi)
+    em = _LEGEND_PT / 72 * dpi
+    canvas.paste(patch,
+                 (round(_LEGEND_RIGHT[0] * W - 0.5 * em) - (patch.width - 1),
+                  round(_LEGEND_RIGHT[1] * H + 0.5 * em)), patch)
 
     arr = np.asarray(canvas)
     try:
@@ -170,13 +198,15 @@ def render_combined_fast(input_img: np.ndarray, class_map: np.ndarray,
                        sup.rstrip("\n"), legend_values, out_path, dpi)
 
 
-def _draw_legend(draw: ImageDraw.ImageDraw, W: int, H: int,
-                 values: list[int], font: ImageFont.FreeTypeFont,
-                 dpi: int) -> None:
-    """The fig.legend frame: 'Classes' title + one patch row per present
-    class. Metrics follow matplotlib legend defaults in em units
-    (borderpad .4, handlelength 2, handletextpad .8, labelspacing .5)."""
+@functools.lru_cache(maxsize=16)
+def _legend_patch(values: tuple[int, ...], dpi: int) -> Image.Image:
+    """The fig.legend frame as a cached RGBA overlay: 'Classes' title +
+    one patch row per present class. Metrics follow matplotlib legend
+    defaults in em units (borderpad .4, handlelength 2, handletextpad .8,
+    labelspacing .5). Rendered once per (present classes, dpi); callers
+    paste it with its own alpha at the _LEGEND_RIGHT anchor."""
     em = _LEGEND_PT / 72 * dpi
+    font = _font(round(em))
     labels = ["{} zone".format(CLASS_NAMES[v]) for v in values]
     entry_h = round(1.0 * em)
     pad = round(0.4 * em)
@@ -185,30 +215,29 @@ def _draw_legend(draw: ImageDraw.ImageDraw, W: int, H: int,
     spacing = round(0.5 * em)
     title = "Classes"
 
-    tb = draw.textbbox((0, 0), title, font=font)
-    text_w = max((draw.textbbox((0, 0), s, font=font)[2] for s in labels),
+    probe = ImageDraw.Draw(Image.new("RGBA", (1, 1)))
+    tb = probe.textbbox((0, 0), title, font=font)
+    text_w = max((probe.textbbox((0, 0), s, font=font)[2] for s in labels),
                  default=0)
     box_w = 2 * pad + max(handle_w + handle_gap + text_w, tb[2])
     box_h = (2 * pad + entry_h  # title row
              + len(labels) * (entry_h + spacing))
 
-    x1 = round(_LEGEND_RIGHT[0] * W - 0.5 * em)
-    y0 = round(_LEGEND_RIGHT[1] * H + 0.5 * em)
-    x0 = x1 - box_w
+    img = Image.new("RGBA", (box_w + 1, box_h + 1), (0, 0, 0, 0))
+    draw = ImageDraw.Draw(img, "RGBA")
     # frame: framealpha .8 white fill, '0.8' gray rounded border
-    draw.rounded_rectangle((x0, y0, x1, y0 + box_h),
+    draw.rounded_rectangle((0, 0, box_w, box_h),
                            radius=round(0.3 * em),
                            fill=(255, 255, 255, 204),
                            outline=(204, 204, 204, 255), width=1)
     # centered title
-    draw.text((x0 + (box_w - tb[2]) / 2, y0 + pad), title, font=font,
-              fill="black")
-    y = y0 + pad + entry_h + spacing
+    draw.text(((box_w - tb[2]) / 2, pad), title, font=font, fill="black")
+    y = pad + entry_h + spacing
     for v, label in zip(values, labels):
         hy = y + round(0.12 * em)
-        draw.rectangle((x0 + pad, hy, x0 + pad + handle_w,
-                        hy + round(0.75 * em)),
+        draw.rectangle((pad, hy, pad + handle_w, hy + round(0.75 * em)),
                        fill=tuple(int(c) for c in VIRIDIS3[v]))
-        draw.text((x0 + pad + handle_w + handle_gap, y), label,
+        draw.text((pad + handle_w + handle_gap, y), label,
                   font=font, fill="black")
         y += entry_h + spacing
+    return img

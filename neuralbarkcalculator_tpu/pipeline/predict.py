@@ -213,64 +213,54 @@ class NeuralBarkCalculator:
                 for s in range(0, len(buckets[pad_h]), bs)]
 
     def _run_chunks(self, chunks, decode_chunk, exclude_nodes: bool,
-                    prefetch: int = 2):
-        """The pump: decode+pad+upload+dispatch each chunk on the thread
-        pool, ``prefetch`` chunks ahead, and yield (index, ProcessedImage,
-        class_map) on the caller's thread.
+                    prefetch: int | None = None):
+        """The pump: each chunk's full device round trip — decode -> pad ->
+        host->device transfer -> jit dispatch -> device->host pull — runs
+        as one worker-pool task, ``prefetch`` chunks in flight, and the
+        caller's thread yields (index, ProcessedImage, class_map).
 
-        The whole launch (decode -> pad -> host->device transfer -> jit
-        dispatch) lives in the worker future: device_put of a large
-        uint8 batch blocks its calling thread for the transfer, and on a
-        bandwidth-bound link that upload must overlap the previous
-        chunk's result pull and artifact rendering — serializing them on
-        the main thread costs ~sum instead of ~max of the two streams
-        (measured: 6.1 -> 8+ img/s on the tunnel-attached bench host).
-        JAX dispatch is thread-safe; the runtime serializes device
-        execution in submission order."""
-        from collections import deque
-
+        Keeping every transfer off the consuming thread matters on a
+        bandwidth-bound link: device_put of a large uint8 batch and
+        np.asarray of the result future each block their calling thread
+        for the whole transfer, and the consumer must spend its time in
+        postprocess + artifact rendering, not waiting on the wire —
+        serializing the streams costs ~sum instead of ~max (measured:
+        6.1 -> 8+ img/s moving the uploads off the main thread, and the
+        pulls of chunk j+1 now stream during chunk j's rendering). JAX
+        dispatch is thread-safe; the runtime serializes device execution
+        in submission order, so in-order consumption adds no stalls."""
+        if prefetch is None:
+            prefetch = getattr(self.config, "prefetch", 2)
         prefetch = max(1, prefetch)
 
-        def decode_and_launch(pad_h, idxs):
+        def pump_one(pad_h, idxs):
             items = decode_chunk(idxs)
-            return self._launch_batch(items, pad_h)
+            items, valid_h, fut = self._launch_batch(items, pad_h)
+            with stage_timer(f"predict/pull_h{pad_h}"):
+                out = np.asarray(fut)  # worker blocks; GIL released
+            return items, valid_h, out
 
         with ThreadPoolExecutor(max_workers=8) as pool:
-            launch_futs = {
-                j: pool.submit(decode_and_launch, *chunks[j])
-                for j in range(min(prefetch, len(chunks)))}
-            pending: deque = deque()
-
-            def finish_one():
-                chunk_idxs, launched = pending.popleft()
-                items = launched[0]
-                for i, (idx, cmap) in enumerate(self._finish_batch_raw(
-                        exclude_nodes, chunk_idxs, launched)):
-                    yield idx, items[i], cmap
-
+            futs = {j: pool.submit(pump_one, *chunks[j])
+                    for j in range(min(prefetch, len(chunks)))}
             for j, (pad_h, idxs) in enumerate(chunks):
-                launched = launch_futs.pop(j).result()
+                items, valid_h, out = futs.pop(j).result()
                 if j + prefetch < len(chunks):
-                    launch_futs[j + prefetch] = pool.submit(
-                        decode_and_launch, *chunks[j + prefetch])
-                pending.append((idxs, launched))
-                if len(pending) >= prefetch:
-                    yield from finish_one()
-            while pending:
-                yield from finish_one()
+                    futs[j + prefetch] = pool.submit(
+                        pump_one, *chunks[j + prefetch])
+                yield from self._finish_batch_raw(exclude_nodes, idxs,
+                                                  items, valid_h, out)
 
-    def _finish_batch_raw(self, exclude_nodes, chunk_idxs, launched):
-        items, valid_h, fut = launched
-        pad_h = fut.shape[1]
+    def _finish_batch_raw(self, exclude_nodes, chunk_idxs, items, valid_h,
+                          out):
+        pad_h = out.shape[1]
         w = items[0].image.shape[1]
-        with stage_timer(f"predict/pull_h{pad_h}"):
-            out = np.asarray(fut)
         if out.shape[2] != w:  # 2-bit packed maps: LUT-expand on host
             out = _UNPACK2[out].reshape(out.shape[0], out.shape[1], -1)
         with stage_timer(f"predict/postprocess_h{pad_h}"):
             out = self._postprocess(out, valid_h, exclude_nodes)
         for i, (idx, item) in enumerate(zip(chunk_idxs, items)):
-            yield idx, out[i, :item.image.shape[0]]
+            yield idx, item, out[i, :item.image.shape[0]]
 
     # ------------------------------------------------------------ internal
 
