@@ -42,8 +42,9 @@ import numpy as np  # noqa: E402
 N_IMAGES = 16
 DPI = 100
 HEIGHTS = (896, 960, 1024)  # mixed trimmed heights, like real folders
-TIMED_PASSES = 2  # report the best (the dev tunnel's throughput varies
-# run to run; steady-state per-chip throughput is what the metric means)
+TIMED_PASSES = 3  # report the best (the dev tunnel's throughput varies
+# run to run, +-20% observed; steady-state per-chip throughput is what
+# the metric means)
 
 
 def build_folder(root: str) -> list[np.ndarray]:

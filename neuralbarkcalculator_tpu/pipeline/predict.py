@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence
 
@@ -62,16 +63,19 @@ class NeuralBarkCalculator:
         self.model = MODEL_FACTORIES[model_name](dtype=dtype)
         self.rules = ShardingRules(mesh if mesh is not None else make_mesh())
         variables = _load_variables(model_path, model_name)
-        if getattr(self.config, "fold_bn", False):
+        if getattr(self.config, "fold_bn", False) and getattr(
+                self.model.backbone, "supports_fold", False):
             # constant-fold eval-mode BN into conv kernels+biases: the
             # inference graph loses every BN elementwise pass
             # (models/fold.py; no reference equivalent — the reference
-            # always runs BN, torchvision models.py:113-139)
+            # always runs BN, torchvision models.py:113-139). Backbones
+            # without fold support (EfficientNet) skip quietly via the
+            # attribute check; a ValueError from the fold itself means
+            # the checkpoint doesn't match the model (missing
+            # batch_stats, unrecognized BN scope) and must surface, not
+            # silently run unfolded.
             from ..models.fold import fold_model
-            try:
-                self.model, variables = fold_model(self.model, variables)
-            except ValueError:
-                pass  # backbone without fold support (EfficientNet)
+            self.model, variables = fold_model(self.model, variables)
         self.variables = jax.device_put(variables, self.rules.replicated)
         self.mean = np.asarray(self.config.mean, np.float32)
         self.std = np.asarray(self.config.std, np.float32)
@@ -83,8 +87,15 @@ class NeuralBarkCalculator:
         self._exact_heights = not getattr(self.model.backbone,
                                           "supports_ragged", True)
         # device-resident cache of the per-height bicubic row operators
-        # (see _row_op_dev); keyed (h, pad_h), bounded LRU-ish
+        # (see _row_op_dev); keyed (h, pad_h), bounded LRU-ish. The lock
+        # serializes cache misses from concurrent pump workers — both for
+        # the eviction (two threads popping the same first key would
+        # KeyError) and for _device_step, where two threads tracing the
+        # same cold (pad_h, batch) shape would each build a jit wrapper
+        # and compile the identical XLA program twice.
         self._rowop_cache: dict[tuple[int, int], jax.Array] = {}
+        self._cache_lock = threading.Lock()
+        self._step_cache: dict[tuple, object] = {}
 
     def _bucket_of(self, h: int) -> int:
         if self._exact_heights:
@@ -330,9 +341,11 @@ class NeuralBarkCalculator:
             op = jax.device_put(
                 embedded_bicubic_rows(feat_h, h, pad_h // 8, pad_h),
                 self.rules.replicated)
-            if len(self._rowop_cache) >= 128:  # bound HBM: 128 x 512 KB
-                self._rowop_cache.pop(next(iter(self._rowop_cache)))
-            self._rowop_cache[key] = op  # benign race across pump threads
+            with self._cache_lock:
+                if len(self._rowop_cache) >= 128:  # bound HBM: 128x512 KB
+                    self._rowop_cache.pop(next(iter(self._rowop_cache)),
+                                          None)
+                self._rowop_cache[key] = op
         return op
 
     def _postprocess(self, preds_u8: np.ndarray, valid_h: np.ndarray,
@@ -361,13 +374,33 @@ class NeuralBarkCalculator:
             cleaned = np.where(cleaned == 2, 1, cleaned).astype(np.uint8)
         return cleaned
 
-    @functools.lru_cache(maxsize=32)
     def _device_step(self, pad_h: int, batch: int, exact: bool = False,
                      pack: bool = False):
-        """Compile the normalize+forward+argmax step for one static
-        (pad_h, batch) shape. With use_pallas (TPU backend), upsample and
-        argmax fuse into one Pallas kernel that never materializes the
-        full-resolution float logits in HBM (ops/pallas_kernels.py).
+        """The jitted normalize+forward+argmax step for one static
+        (pad_h, batch) shape, built once per shape (double-checked lock:
+        concurrent pump workers hitting the same cold shape must share
+        ONE jit wrapper, or each would trace and compile the identical
+        program — a plain lru_cache does not deduplicate in-flight
+        misses). The cache stays small by construction: heights are
+        bucketed (8 buckets worst case) and batch sizes take two values
+        (full and tail)."""
+        key = (pad_h, batch, exact, pack)
+        fn = self._step_cache.get(key)
+        if fn is None:
+            with self._cache_lock:
+                fn = self._step_cache.get(key)
+                if fn is None:
+                    fn = self._build_device_step(pad_h, batch, exact,
+                                                 pack)
+                    self._step_cache[key] = fn
+        return fn
+
+    def _build_device_step(self, pad_h: int, batch: int, exact: bool,
+                           pack: bool):
+        """Build + jit the device step. With use_pallas (TPU backend),
+        upsample and argmax fuse into one Pallas kernel that never
+        materializes the full-resolution float logits in HBM
+        (ops/pallas_kernels.py).
 
         ``exact``: every image in the batch has true height pad_h (the
         EfficientNet fallback path) — plain forward, no masks/row ops."""

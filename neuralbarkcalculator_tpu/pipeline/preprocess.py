@@ -210,10 +210,36 @@ class Preprocessor:
                     fut.result()
             return results  # type: ignore[return-value]
 
-        with ThreadPoolExecutor(max_workers=self.io_workers) as pool:
-            decoded = pool.map(
-                lambda r: load_image_u8(r.sample_path), records)
-            iterator = zip(enumerate(records), decoded)
+        # Device backend. Two executors: decodes + PNG saves share the IO
+        # pool with a bounded look-ahead window (a bare pool.map would
+        # eagerly queue one decode task per image — on a large folder
+        # every 48 MB source ends up decoded and resident at once, and
+        # any task submitted later to the same FIFO pool starves behind
+        # the full decode backlog); the launch (stack + host->device
+        # transfer + dispatch) gets its own single-worker executor so it
+        # runs as soon as a batch is assembled. Keeping the launch off
+        # the main thread still matters: jnp.asarray of a 4096^2 uint8
+        # batch blocks its calling thread for the whole transfer, which
+        # must overlap the previous batch's result pull and PNG encodes
+        # (same fix as predict._run_chunks).
+        with ThreadPoolExecutor(max_workers=self.io_workers) as pool, \
+                ThreadPoolExecutor(max_workers=1) as launch_pool:
+            window = max(2, 2 * min(self.io_workers,
+                                    os.cpu_count() or 1))
+            decode_futs: deque = deque(
+                pool.submit(load_image_u8, rec.sample_path)
+                for rec in records[:window])
+
+            def decoded_stream():
+                for idx, rec in enumerate(records):
+                    img = decode_futs.popleft().result()
+                    if idx + window < len(records):
+                        decode_futs.append(pool.submit(
+                            load_image_u8,
+                            records[idx + window].sample_path))
+                    yield (idx, rec), img
+
+            iterator = decoded_stream()
             if progress:
                 iterator = _tqdm(iterator, total=len(records),
                                  desc="Preprocessing images")
@@ -233,16 +259,9 @@ class Preprocessor:
                         save_futures.append(
                             pool.submit(save_image_u8, path, processed))
 
-            # double-buffered, with the launch (stack + host->device
-            # transfer + dispatch) on a worker thread: jnp.asarray of a
-            # 4096^2 uint8 batch blocks its calling thread for the whole
-            # transfer, and on a bandwidth-bound link that upload must
-            # overlap the previous batch's result pull and PNG encodes —
-            # not serialize with them on the main thread (same fix as
-            # predict._run_chunks).
             for group in _shape_batches(iterator, self.batch_size):
                 keyed, imgs = zip(*group)
-                pending.append((keyed, pool.submit(
+                pending.append((keyed, launch_pool.submit(
                     self._launch_shape_batch, imgs)))
                 if len(pending) >= 2:
                     keyed_done, fut = pending.popleft()

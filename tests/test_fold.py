@@ -145,6 +145,52 @@ def test_predict_engine_fold_matches_unfolded(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_predict_engine_default_bf16_fold_budget(tmp_path, rng):
+    """The shipped default config combines use_bfloat16=True with
+    fold_bn=True; folding bakes the BN scale into bf16-cast conv kernels
+    instead of applying it as an f32 elementwise pass, so the combination
+    needs its own budget check: against the f32 unfolded ground truth,
+    folded-bf16 class maps may not disagree materially more than
+    unfolded-bf16 ones do (fold must not compound the bf16 error)."""
+    import flax.serialization
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.models.segmentation import fcn_resnet50
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+
+    model, variables = _init_model(fcn_resnet50)
+    variables = _realistic_stats(variables, rng)
+    ckpt = str(tmp_path / "m.msgpack")
+    with open(ckpt, "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+
+    items = [ProcessedImage(
+        (rng.random((h, 64, 3)) * 255).astype(np.uint8), f"i{k}.png",
+        "sapin") for k, h in enumerate([64, 48, 64, 32])]
+
+    def run(use_bf16, fold):
+        config = PredictConfig(model_path=ckpt, batch_size=2,
+                               use_bfloat16=use_bf16, height_bucket=32,
+                               fold_bn=fold)
+        calc = NeuralBarkCalculator(ckpt, mesh=make_mesh(n_data=2),
+                                    config=config)
+        return [m for _, m in calc.predict_images(items)]
+
+    truth = run(False, False)
+    unfolded_bf16 = run(True, False)
+    folded_bf16 = run(True, True)
+    n = sum(m.size for m in truth)
+    mism_unfolded = sum(int((a != b).sum())
+                        for a, b in zip(unfolded_bf16, truth)) / n
+    mism_folded = sum(int((a != b).sum())
+                      for a, b in zip(folded_bf16, truth)) / n
+    # fold may move bf16 rounding around but not compound it
+    assert mism_folded <= mism_unfolded + 0.002, \
+        (mism_folded, mism_unfolded)
+    assert mism_folded <= 0.01, mism_folded
+
+
 def test_s2d_stem_matches_plain_conv(rng):
     """The space-to-depth stem (models/resnet._S2DStemConv) must match
     the plain 7x7/s2 conv to f32 rounding, including at zero-padded
