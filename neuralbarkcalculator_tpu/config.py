@@ -135,3 +135,7 @@ class PredictConfig:
     # its host batch + device buffers + pulled maps (~30 MB per chunk of
     # 8 at 1024^2), and higher values keep a slow host<->device link busy
     # across the decode/upload/pull/render streams
+    pipelined_uploads: bool = True  # single-device meshes: upload each
+    # chunk as two device_put groups so the first transfer starts after
+    # a few decodes instead of after the whole chunk (dead link time at
+    # every chunk head on a bandwidth-bound host<->device path)

@@ -245,8 +245,31 @@ class NeuralBarkCalculator:
         prefetch = max(1, prefetch)
 
         def pump_one(pad_h, idxs):
-            items = decode_chunk(idxs)
-            items, valid_h, fut = self._launch_batch(items, pad_h)
+            if (getattr(self.config, "pipelined_uploads", True)
+                    and self.rules.data_size == 1 and len(idxs) >= 4):
+                # pipelined upload: decode a small first group and start
+                # its transfer while the rest of the chunk decodes — a
+                # whole-chunk decode leaves the link idle for the full
+                # decode time (~25 ms/image on one core), which is dead
+                # time at the head of every chunk on a bandwidth-bound
+                # link. Single-device only: group buffers concatenate on
+                # device without resharding there. (Groups never need
+                # dummy padding: n_pad == n when the data axis is 1.)
+                k = max(2, len(idxs) // 4)
+                items, parts = [], []
+                for gi in (idxs[:k], idxs[k:]):
+                    gitems = decode_chunk(gi)
+                    parts.append(pool.submit(
+                        jax.device_put, self._pad_group(gitems, pad_h),
+                        self.rules.image_batch))
+                    items.extend(gitems)
+                dev_batch = jnp.concatenate(
+                    [p.result() for p in parts], axis=0)
+                items, valid_h, fut = self._launch_batch(
+                    items, pad_h, dev_batch=dev_batch)
+            else:
+                items = decode_chunk(idxs)
+                items, valid_h, fut = self._launch_batch(items, pad_h)
             with stage_timer(f"predict/pull_h{pad_h}"):
                 out = np.asarray(fut)  # worker blocks; GIL released
             return items, valid_h, out
@@ -275,29 +298,56 @@ class NeuralBarkCalculator:
 
     # ------------------------------------------------------------ internal
 
-    def _launch_batch(self, items: list[ProcessedImage], pad_h: int):
+    def _pad_group(self, items: Sequence[ProcessedImage],
+                   pad_h: int) -> np.ndarray:
+        """Assemble [n, pad_h, w, 3] uint8 from trimmed images, zeroing
+        only the pad rows (the zero-beyond-valid_h invariant the ragged
+        machinery relies on) — np.zeros of a whole 24 MB chunk buffer is
+        measurable host time for a few hundred KB of actual padding."""
+        w = items[0].image.shape[1]
+        buf = np.empty((len(items), pad_h, w, 3), np.uint8)
+        for i, item in enumerate(items):
+            h = item.image.shape[0]
+            buf[i, :h] = item.image
+            if h < pad_h:
+                buf[i, h:] = 0
+        return buf
+
+    def _launch_batch(self, items: list[ProcessedImage], pad_h: int,
+                      dev_batch=None):
         """Pad a bucket chunk to static shapes and dispatch the device
-        step asynchronously. Returns (items, valid_h, device_future)."""
+        step asynchronously. Returns (items, valid_h, device_future).
+
+        ``dev_batch``: the image batch already on device (the pipelined
+        upload path in _run_chunks) — must cover exactly len(items) rows,
+        so it is only passed when no dummy padding is needed."""
         n = len(items)
         # round the batch up to a multiple of the data-axis size so the
         # batch dim shards evenly; surplus rows are dummies dropped below.
         n_pad = pad_to_multiple(n, self.rules.data_size)
         w = items[0].image.shape[1]
-        batch = np.zeros((n_pad, pad_h, w, 3), np.uint8)
         valid_h = np.full((n_pad,), pad_h, np.int32)
         pack = w % 4 == 0  # 2-bit packed pull (see _pack2bit)
+        if dev_batch is None:
+            batch = self._pad_group(items, pad_h)
+            if n_pad > n:
+                batch = np.concatenate(
+                    [batch, np.zeros((n_pad - n, pad_h, w, 3), np.uint8)])
+        else:
+            assert n_pad == n and dev_batch.shape[0] == n
 
         if self._exact_heights:
-            # every item in the bucket has exactly this height: no masks
-            # or embedded row operators needed, plain forward is exact
-            for i, item in enumerate(items):
-                assert item.image.shape[0] == pad_h
-                batch[i] = item.image
+            # every item in the bucket has exactly this height (the
+            # planner buckets by true height on this path): no masks or
+            # embedded row operators needed, plain forward is exact
+            assert all(it.image.shape[0] == pad_h for it in items)
             with stage_timer(f"predict/dispatch_h{pad_h}"):
+                if dev_batch is None:
+                    dev_batch = jax.device_put(batch,
+                                               self.rules.image_batch)
                 fut = self._device_step(pad_h, n_pad, exact=True,
                                         pack=pack)(
-                    self.variables,
-                    jax.device_put(batch, self.rules.image_batch))
+                    self.variables, dev_batch)
             return items, valid_h, fut
 
         if pad_h % 8:
@@ -307,10 +357,8 @@ class NeuralBarkCalculator:
                 f"accordingly")
         ops = []
         for i, item in enumerate(items):
-            h = item.image.shape[0]
-            batch[i, :h] = item.image
-            valid_h[i] = h
-            ops.append(self._row_op_dev(h, pad_h))
+            valid_h[i] = item.image.shape[0]
+            ops.append(self._row_op_dev(item.image.shape[0], pad_h))
         for i in range(n, n_pad):  # dummies reuse image 0's operator shape
             valid_h[i] = items[0].image.shape[0]
             ops.append(ops[0])
@@ -322,9 +370,10 @@ class NeuralBarkCalculator:
             # the [B, 1024, 128] f32 operators would add ~17% bytes to a
             # bandwidth-bound host->device link (512 KB vs 3 MB per image)
             row_ops = jax.device_put(jnp.stack(ops), self.rules.batch)
+            if dev_batch is None:
+                dev_batch = jax.device_put(batch, self.rules.image_batch)
             fut = self._device_step(pad_h, n_pad, pack=pack)(
-                self.variables,
-                jax.device_put(batch, self.rules.image_batch),
+                self.variables, dev_batch,
                 jax.device_put(valid_h, self.rules.batch),
                 row_ops)
         return items, valid_h, fut

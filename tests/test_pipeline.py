@@ -369,6 +369,36 @@ def test_preprocess_backend_env_override(root, monkeypatch):
     assert Preprocessor(backend="auto")._resolve_backend() == "device"
 
 
+def test_pipelined_upload_matches_sequential(checkpoint):
+    """The single-device pipelined group-upload path in _run_chunks
+    (decode/upload overlap: the chunk uploads as two device_put groups
+    concatenated on device) is bit-equal to the simple whole-chunk path
+    (batch_size=1 never meets the len>=4 gate)."""
+    import numpy as np
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+
+    ckpt_path, _, _ = checkpoint
+    rng = np.random.default_rng(5)
+    # four images land in the 64-bucket (one chunk, pipelined), one in 32
+    items = [ProcessedImage(
+        (rng.random((h, 64, 3)) * 255).astype(np.uint8), f"i{k}.png",
+        "sapin") for k, h in enumerate([64, 48, 62, 40, 32])]
+    maps = {}
+    for bs in (5, 1):
+        config = PredictConfig(model_path=ckpt_path, batch_size=bs,
+                               use_bfloat16=False, height_bucket=32)
+        calc = NeuralBarkCalculator(
+            ckpt_path, mesh=make_mesh(n_data=1, n_model=1), config=config)
+        maps[bs] = {item.fname: m for item, m in
+                    calc.predict_images(items)}
+    assert maps[5].keys() == maps[1].keys()
+    for fname in maps[5]:
+        np.testing.assert_array_equal(maps[5][fname], maps[1][fname])
+
+
 def test_predict_odd_width_unpacked(checkpoint):
     """Widths not divisible by 4 skip the 2-bit packed pull and still
     produce correct maps through the unpacked path."""
