@@ -172,7 +172,10 @@ def render_figure_fast(panels, titles, suptitle: str,
     arr = np.asarray(canvas)
     try:
         from ..io.native import save_image_u8_fast
-        save_image_u8_fast(out_path, arr, zlevel=2)
+        # z1: the figure canvas (flat chrome + Sub-filtered panels)
+        # compresses as well at level 1 as 2 (183 vs 182 KB measured)
+        # for ~20% less encode time
+        save_image_u8_fast(out_path, arr, zlevel=1)
     except Exception:  # pragma: no cover
         canvas.save(out_path, format="PNG")
 
