@@ -56,6 +56,7 @@ def test_config_defaults_match_reference():
     assert t.samples_per_epoch_factor == 12
 
 
+@pytest.mark.slow
 def test_predict_cli_main_end_to_end(tmp_path):
     """Full cli.predict main() on the CPU mesh: scaffold, incremental
     preprocess, predict, artifacts — the same plumbing --watch loops."""

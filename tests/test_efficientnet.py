@@ -18,6 +18,7 @@ def test_feature_shapes(variant, inplanes):
     assert feat.shape == (1, 2, 2, inplanes)  # output stride 32
 
 
+@pytest.mark.slow
 def test_fcn_efficientnet_forward():
     import jax
     import jax.numpy as jnp
@@ -142,6 +143,7 @@ def test_efficientnet_full_model_checkpoint(torch_eff, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_efficientnet_predict_engine_mixed_heights(tmp_path):
     """fcn_efficientnet runs through the production predict engine on a
     mixed-height folder via the exact-height fallback (one compiled
