@@ -49,6 +49,7 @@ def test_structured_image_follows_mask():
     assert m0 < m1 < m2
 
 
+@pytest.mark.slow
 def test_bench_build_folder_and_stats_sidecar(tmp_path, monkeypatch):
     import bench
 

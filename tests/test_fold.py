@@ -153,6 +153,7 @@ def test_predict_engine_fold_matches_unfolded(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_predict_engine_default_bf16_fold_budget(tmp_path):
     """The shipped default config combines use_bfloat16=True with
     fold_bn=True; folding bakes the BN scale into bf16-cast conv kernels
