@@ -553,4 +553,104 @@ int remove_small_zones_batch(const uint8_t* imgs, int32_t batch, int32_t h,
   return BARKIO_OK;
 }
 
+// ---- v2: packed input + fused remap/count -------------------------------
+// The predict engine pulls class maps from the device 2-bit packed (4
+// pixels/byte) to quarter the device->host bytes, then needs the cleaned
+// map, the exclude_nodes remap, and per-class pixel counts for the CSV.
+// Doing all of that in the same native pass kills three separate numpy
+// sweeps over the batch (LUT unpack gather, np.where remap, bincount) and
+// the 4x unpacked intermediate they allocate.
+
+typedef struct {
+  const uint8_t* imgs;  // [b, h, w] u8, or [b, h, w/4] packed (2-bit LE)
+  uint8_t* outs;        // [b, h, w] cleaned (always unpacked)
+  int64_t* counts;      // [b, 3] per-class pixel counts over valid rows,
+                        // post-clean/post-remap; may be NULL
+  const int32_t* valid_h;
+  int32_t packed, exclude_nodes;
+  int32_t batch, h, w, min_size;
+  int32_t next;
+  pthread_mutex_t lock;
+} ccl2_job;
+
+static void* ccl2_worker(void* arg) {
+  ccl2_job* job = (ccl2_job*)arg;
+  // 2-bit unpack table: byte -> 4 pixel values (little-endian pixel
+  // order, matching the device packing: pixel k in bits [2k, 2k+2))
+  static uint32_t lut[256];
+  static pthread_once_t once = PTHREAD_ONCE_INIT;
+  struct init {
+    static void fill() {
+      for (uint32_t v = 0; v < 256; ++v) {
+        uint8_t p[4];
+        for (int k = 0; k < 4; ++k) p[k] = (v >> (2 * k)) & 3;
+        memcpy(&lut[v], p, 4);
+      }
+    }
+  };
+  pthread_once(&once, init::fill);
+  for (;;) {
+    pthread_mutex_lock(&job->lock);
+    int32_t i = job->next++;
+    pthread_mutex_unlock(&job->lock);
+    if (i >= job->batch) return nullptr;
+    int64_t off = (int64_t)i * job->h * job->w;
+    int32_t vh = job->valid_h ? job->valid_h[i] : job->h;
+    if (vh > job->h) vh = job->h;
+    uint8_t* out = job->outs + off;
+    if (job->packed) {
+      // unpack the valid rows straight into the output buffer, then
+      // clean in place (remove_small_zones_u8 is in-place capable)
+      const uint8_t* src = job->imgs + (int64_t)i * job->h * (job->w / 4);
+      int64_t n = (int64_t)vh * (job->w / 4);
+      if (((uintptr_t)out & 3) == 0) {  // w % 4 == 0 keeps rows aligned
+        uint32_t* dst = (uint32_t*)out;
+        for (int64_t k = 0; k < n; ++k) dst[k] = lut[src[k]];
+      } else {  // unaligned base (never for numpy-allocated buffers)
+        for (int64_t k = 0; k < n; ++k)
+          memcpy(out + 4 * k, &lut[src[k]], 4);
+      }
+      remove_small_zones_u8(out, vh, job->w, job->min_size, out);
+    } else {
+      remove_small_zones_u8(job->imgs + off, vh, job->w, job->min_size,
+                            out);
+    }
+    if (vh < job->h)
+      memset(out + (int64_t)vh * job->w, 0,
+             (int64_t)(job->h - vh) * job->w);
+    // fused remap + count over the valid rows (one sequential sweep)
+    int64_t c[3] = {0, 0, 0};
+    int64_t nv = (int64_t)vh * job->w;
+    if (job->exclude_nodes) {  // node class 2 -> 1 (ref models.py:273-276)
+      for (int64_t k = 0; k < nv; ++k) {
+        if (out[k] == 2) out[k] = 1;
+        c[out[k]]++;
+      }
+    } else if (job->counts) {
+      for (int64_t k = 0; k < nv; ++k) c[out[k]]++;
+    }
+    if (job->counts) memcpy(job->counts + (int64_t)i * 3, c, sizeof(c));
+  }
+}
+
+// Packed (2-bit, w % 4 == 0) or plain batched remove_small_zones with the
+// exclude_nodes remap and per-class counts fused into the same pass.
+int remove_small_zones_batch2(const uint8_t* imgs, int32_t packed,
+                              int32_t batch, int32_t h, int32_t w,
+                              const int32_t* valid_h, int32_t min_size,
+                              int32_t exclude_nodes, uint8_t* outs,
+                              int64_t* counts, int32_t threads) {
+  if (packed && (w % 4)) return BARKIO_E_ARG;
+  if (threads < 1) threads = 1;
+  if (threads > batch) threads = batch;
+  if (threads > 64) threads = 64;
+  ccl2_job job = {imgs, outs, counts, valid_h, packed, exclude_nodes,
+                  batch, h, w, min_size, 0, PTHREAD_MUTEX_INITIALIZER};
+  pthread_t tids[64];
+  for (int t = 0; t < threads; ++t)
+    pthread_create(&tids[t], nullptr, ccl2_worker, &job);
+  for (int t = 0; t < threads; ++t) pthread_join(tids[t], nullptr);
+  return BARKIO_OK;
+}
+
 }  // extern "C"

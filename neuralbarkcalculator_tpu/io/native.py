@@ -84,6 +84,14 @@ def get_lib():
     lib.remove_small_zones_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32]
+    try:  # v2 (packed input + fused remap/count); absent in older builds
+        lib.remove_small_zones_batch2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32]
+    except AttributeError:  # pragma: no cover
+        pass
     _LIB = lib
     return _LIB
 
@@ -213,3 +221,41 @@ def remove_small_zones_host(class_maps: np.ndarray,
         class_maps.ctypes.data_as(ctypes.c_void_p), b, h, w, vh_ptr,
         min_size, out.ctypes.data_as(ctypes.c_void_p), threads)
     return out[0] if single else out
+
+
+def remove_small_zones_host2(class_maps: np.ndarray, w: int,
+                             valid_h: np.ndarray | None = None,
+                             packed: bool = False,
+                             exclude_nodes: bool = False,
+                             min_size: int = 150, threads: int = 8
+                             ) -> tuple[np.ndarray, np.ndarray] | None:
+    """remove_small_zones with the predict engine's whole postprocess
+    fused into the one native pass: optional 2-bit-packed input ([B, H,
+    W/4], the device pull layout, w % 4 == 0), the exclude_nodes 2->1
+    remap (reference models.py:273-276), and per-image class counts over
+    the valid rows (the CSV/legend bincount, models.py:323-332).
+
+    Returns (cleaned [B, H, W] uint8, counts [B, 3] int64) or None when
+    the native library (or the v2 entry) is unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "remove_small_zones_batch2"):
+        return None
+    class_maps = np.ascontiguousarray(class_maps, dtype=np.uint8)
+    b, h = class_maps.shape[:2]
+    if packed and (w % 4 or class_maps.shape[2] != w // 4):
+        return None
+    out = np.empty((b, h, w), np.uint8)
+    counts = np.zeros((b, 3), np.int64)
+    vh_ptr = None
+    if valid_h is not None:
+        valid_h = np.ascontiguousarray(valid_h, dtype=np.int32)
+        vh_ptr = valid_h.ctypes.data_as(ctypes.c_void_p)
+    rc = lib.remove_small_zones_batch2(
+        class_maps.ctypes.data_as(ctypes.c_void_p), int(packed), b, h, w,
+        vh_ptr, min_size, int(exclude_nodes),
+        out.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p), threads)
+    if rc != 0:  # pragma: no cover - argument errors only
+        return None
+    return out, counts

@@ -88,7 +88,17 @@ def _fit(shape: tuple[int, int], box_w: int, box_h: int
 
 
 def _panel_photo(img: np.ndarray, tw: int, th: int) -> Image.Image:
-    """Area-downsample the input photo (imshow antialiased resample)."""
+    """Area-downsample the input photo (imshow antialiased resample).
+
+    Like the matplotlib path (report.display_subsample), the full-res
+    photo is first stride-subsampled to >= ~1.5x the target raster —
+    BOX over the full 1024^2 array reads 3 MB per panel and the strided
+    pre-pass cuts that ~4x for no visible difference at figure scale
+    (the mpl renderer feeds Agg the same strided view)."""
+    step = min(img.shape[0] // max(1, round(1.5 * th)),
+               img.shape[1] // max(1, round(1.5 * tw)))
+    if step > 1:
+        img = np.ascontiguousarray(img[::step, ::step])
     return Image.fromarray(img).resize((tw, th), Image.BOX)
 
 

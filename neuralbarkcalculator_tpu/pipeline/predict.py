@@ -37,7 +37,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import NUM_CLASSES, PredictConfig
 from ..data.dataset import make_dataset
-from ..io.native import (load_image_u8_fast as load_image_u8,
+from ..io.native import (remove_small_zones_host2,
+                         load_image_u8_fast as load_image_u8,
                          remove_small_zones_host)
 from ..models.segmentation import MODEL_FACTORIES
 from ..ops.ccl import remove_small_zones_ragged
@@ -163,10 +164,10 @@ class NeuralBarkCalculator:
                            ascii=True, desc="Predicted images")
             except ImportError:  # pragma: no cover
                 pass
-        for idx, item, cmap in self._run_chunks(chunks, decode_chunk,
-                                                exclude_nodes):
+        for idx, item, cmap, counts3 in self._run_chunks(
+                chunks, decode_chunk, exclude_nodes):
             reporter.add(item.image, cmap, item.fname, item.wood_type,
-                         order=idx)
+                         order=idx, counts3=counts3)
             if bar is not None:
                 bar.update(1)
         if bar is not None:
@@ -185,7 +186,7 @@ class NeuralBarkCalculator:
         """
         chunks = self._plan_chunks(
             [(i, im.image.shape[0]) for i, im in enumerate(images)])
-        for _, item, cmap in self._run_chunks(
+        for _, item, cmap, _counts in self._run_chunks(
                 chunks, lambda idxs: [images[i] for i in idxs],
                 exclude_nodes, prefetch=prefetch):
             yield item, cmap
@@ -289,12 +290,26 @@ class NeuralBarkCalculator:
                           out):
         pad_h = out.shape[1]
         w = items[0].image.shape[1]
-        if out.shape[2] != w:  # 2-bit packed maps: LUT-expand on host
-            out = _UNPACK2[out].reshape(out.shape[0], out.shape[1], -1)
+        packed = out.shape[2] != w  # 2-bit packed device pull
         with stage_timer(f"predict/postprocess_h{pad_h}"):
-            out = self._postprocess(out, valid_h, exclude_nodes)
+            # one native pass: unpack (if packed) + remove_small_zones +
+            # exclude_nodes remap + per-class counts — replaces three
+            # numpy sweeps (LUT gather, np.where, bincount) and the 4x
+            # unpacked intermediate (io/native.remove_small_zones_host2)
+            res = remove_small_zones_host2(out, w, valid_h,
+                                           packed=packed,
+                                           exclude_nodes=exclude_nodes)
+            if res is not None:
+                out, counts = res
+            else:  # no native lib: numpy unpack + device CCL fallback
+                if packed:
+                    out = _UNPACK2[out].reshape(out.shape[0],
+                                                out.shape[1], -1)
+                out = self._postprocess(out, valid_h, exclude_nodes)
+                counts = None
         for i, (idx, item) in enumerate(zip(chunk_idxs, items)):
-            yield idx, item, out[i, :item.image.shape[0]]
+            yield (idx, item, out[i, :item.image.shape[0]],
+                   None if counts is None else counts[i])
 
     # ------------------------------------------------------------ internal
 

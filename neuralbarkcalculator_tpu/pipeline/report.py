@@ -160,11 +160,16 @@ class PredictReporter:
         self._order = 0
 
     def add(self, input_img: np.ndarray, class_map: np.ndarray,
-            fname: str, wood_type: str, order: int | None = None) -> None:
+            fname: str, wood_type: str, order: int | None = None,
+            counts3: np.ndarray | None = None) -> None:
         """Render artifacts + record the CSV row. ``order`` fixes the row's
         position in final_stats.csv (the reference writes rows in dataset
-        order, models.py:358; batched compute may finish out of order)."""
-        counts3 = np.bincount(class_map.ravel(), minlength=3)
+        order, models.py:358; batched compute may finish out of order).
+        ``counts3``: per-class pixel counts of class_map if the caller
+        already has them (the native postprocess counts during its
+        write-back sweep — remove_small_zones_host2)."""
+        if counts3 is None:
+            counts3 = np.bincount(class_map.ravel(), minlength=3)
         percents = self.add_row_only(class_map, fname, wood_type, order,
                                      counts3=counts3)
         combined = os.path.join(self.results_dir, "combined_images",

@@ -113,6 +113,38 @@ def test_native_ccl_matches_device_op(rng):
     np.testing.assert_array_equal(got_r, want_r)
 
 
+def test_native_ccl_v2_fused_pass(rng):
+    """remove_small_zones_host2 (packed input + exclude_nodes remap +
+    per-class counts in one native pass) must match the v1 clean followed
+    by the separate numpy remap/bincount sweeps it replaces."""
+    B, H, W = 3, 96, 128
+    maps = (rng.random((B, H, W)) * 3).astype(np.uint8)
+    maps[0, 20:60, 20:80] = 1
+    maps[2, :, :] = 0
+    maps[2, 10:15, 10:15] = 2
+    vh = np.array([96, 70, 33], np.int32)
+    for i, h in enumerate(vh):
+        maps[i, h:] = 0
+    flat = maps.reshape(B, H, W // 4, 4).astype(np.uint16)
+    packed = (flat[..., 0] | (flat[..., 1] << 2) | (flat[..., 2] << 4)
+              | (flat[..., 3] << 6)).astype(np.uint8)
+
+    ref = native.remove_small_zones_host(maps, vh)
+    if ref is None:
+        pytest.skip("native lib unavailable")
+    for exclude in (False, True):
+        want = np.where(ref == 2, 1, ref).astype(np.uint8) if exclude \
+            else ref
+        for pk, inp in ((False, maps), (True, packed)):
+            out, counts = native.remove_small_zones_host2(
+                inp, W, vh, packed=pk, exclude_nodes=exclude)
+            np.testing.assert_array_equal(out, want)
+            for i in range(B):
+                np.testing.assert_array_equal(
+                    counts[i], np.bincount(want[i, :vh[i]].ravel(),
+                                           minlength=3))
+
+
 def _write_bmp(path, rgb, bpp=24, top_down=False):
     """Hand-craft a BMP (24/32bpp, either row order) to exercise decoder
     paths PIL never writes."""
