@@ -508,51 +508,6 @@ int remove_small_zones_u8(const uint8_t* img, int32_t h, int32_t w,
   return BARKIO_OK;
 }
 
-typedef struct {
-  const uint8_t* imgs;
-  uint8_t* outs;
-  const int32_t* valid_h;
-  int32_t batch, h, w, min_size;
-  int32_t next;
-  pthread_mutex_t lock;
-} ccl_job;
-
-static void* ccl_worker(void* arg) {
-  ccl_job* job = (ccl_job*)arg;
-  for (;;) {
-    pthread_mutex_lock(&job->lock);
-    int32_t i = job->next++;
-    pthread_mutex_unlock(&job->lock);
-    if (i >= job->batch) return nullptr;
-    int64_t off = (int64_t)i * job->h * job->w;
-    int32_t vh = job->valid_h ? job->valid_h[i] : job->h;
-    if (vh > job->h) vh = job->h;
-    remove_small_zones_u8(job->imgs + off, vh, job->w, job->min_size,
-                          job->outs + off);
-    // zero the padded rows
-    if (vh < job->h)
-      memset(job->outs + off + (int64_t)vh * job->w, 0,
-             (int64_t)(job->h - vh) * job->w);
-  }
-}
-
-// Batched + ragged (valid_h may be NULL for full-height), threaded.
-int remove_small_zones_batch(const uint8_t* imgs, int32_t batch, int32_t h,
-                             int32_t w, const int32_t* valid_h,
-                             int32_t min_size, uint8_t* outs,
-                             int32_t threads) {
-  if (threads < 1) threads = 1;
-  if (threads > batch) threads = batch;
-  if (threads > 64) threads = 64;
-  ccl_job job = {imgs, outs, valid_h, batch, h, w, min_size, 0,
-                 PTHREAD_MUTEX_INITIALIZER};
-  pthread_t tids[64];
-  for (int t = 0; t < threads; ++t)
-    pthread_create(&tids[t], nullptr, ccl_worker, &job);
-  for (int t = 0; t < threads; ++t) pthread_join(tids[t], nullptr);
-  return BARKIO_OK;
-}
-
 // ---- v2: packed input + fused remap/count -------------------------------
 // The predict engine pulls class maps from the device 2-bit packed (4
 // pixels/byte) to quarter the device->host bytes, then needs the cleaned
@@ -570,6 +525,7 @@ typedef struct {
   int32_t packed, exclude_nodes;
   int32_t batch, h, w, min_size;
   int32_t next;
+  int32_t rc;  // first per-image error (BARKIO_OK if none)
   pthread_mutex_t lock;
 } ccl2_job;
 
@@ -598,6 +554,7 @@ static void* ccl2_worker(void* arg) {
     int32_t vh = job->valid_h ? job->valid_h[i] : job->h;
     if (vh > job->h) vh = job->h;
     uint8_t* out = job->outs + off;
+    int32_t rc;
     if (job->packed) {
       // unpack the valid rows straight into the output buffer, then
       // clean in place (remove_small_zones_u8 is in-place capable)
@@ -610,16 +567,25 @@ static void* ccl2_worker(void* arg) {
         for (int64_t k = 0; k < n; ++k)
           memcpy(out + 4 * k, &lut[src[k]], 4);
       }
-      remove_small_zones_u8(out, vh, job->w, job->min_size, out);
+      rc = remove_small_zones_u8(out, vh, job->w, job->min_size, out);
     } else {
-      remove_small_zones_u8(job->imgs + off, vh, job->w, job->min_size,
-                            out);
+      rc = remove_small_zones_u8(job->imgs + off, vh, job->w,
+                                 job->min_size, out);
+    }
+    if (rc != BARKIO_OK) {  // malloc failure / gigapixel guard: surface
+      pthread_mutex_lock(&job->lock);
+      if (job->rc == BARKIO_OK) job->rc = rc;
+      pthread_mutex_unlock(&job->lock);
+      continue;  // out may be unwritten — skip the remap/count sweep
     }
     if (vh < job->h)
       memset(out + (int64_t)vh * job->w, 0,
              (int64_t)(job->h - vh) * job->w);
-    // fused remap + count over the valid rows (one sequential sweep)
-    int64_t c[3] = {0, 0, 0};
+    // fused remap + count over the valid rows (one sequential sweep).
+    // c has 256 slots: cleaned engine maps only hold {0,1,2}, but this
+    // is a public C entry and arbitrary u8 values must count safely
+    // (like the np.bincount this replaces), not index past the array.
+    int64_t c[256] = {0};
     int64_t nv = (int64_t)vh * job->w;
     if (job->exclude_nodes) {  // node class 2 -> 1 (ref models.py:273-276)
       for (int64_t k = 0; k < nv; ++k) {
@@ -629,7 +595,8 @@ static void* ccl2_worker(void* arg) {
     } else if (job->counts) {
       for (int64_t k = 0; k < nv; ++k) c[out[k]]++;
     }
-    if (job->counts) memcpy(job->counts + (int64_t)i * 3, c, sizeof(c));
+    if (job->counts)
+      memcpy(job->counts + (int64_t)i * 3, c, 3 * sizeof(int64_t));
   }
 }
 
@@ -645,12 +612,24 @@ int remove_small_zones_batch2(const uint8_t* imgs, int32_t packed,
   if (threads > batch) threads = batch;
   if (threads > 64) threads = 64;
   ccl2_job job = {imgs, outs, counts, valid_h, packed, exclude_nodes,
-                  batch, h, w, min_size, 0, PTHREAD_MUTEX_INITIALIZER};
+                  batch, h, w, min_size, 0, BARKIO_OK,
+                  PTHREAD_MUTEX_INITIALIZER};
   pthread_t tids[64];
   for (int t = 0; t < threads; ++t)
     pthread_create(&tids[t], nullptr, ccl2_worker, &job);
   for (int t = 0; t < threads; ++t) pthread_join(tids[t], nullptr);
-  return BARKIO_OK;
+  return job.rc;
+}
+
+// Batched + ragged (valid_h may be NULL for full-height), threaded.
+// Kept as the v1 ABI; delegates to the v2 machinery (plain input, no
+// remap, no counts) so there is one worker implementation to maintain.
+int remove_small_zones_batch(const uint8_t* imgs, int32_t batch, int32_t h,
+                             int32_t w, const int32_t* valid_h,
+                             int32_t min_size, uint8_t* outs,
+                             int32_t threads) {
+  return remove_small_zones_batch2(imgs, 0, batch, h, w, valid_h,
+                                   min_size, 0, outs, nullptr, threads);
 }
 
 }  // extern "C"

@@ -52,9 +52,13 @@ def get_lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    path = next((p for p in _LIB_PATHS if os.path.isfile(p)), None)
+    # rebuild-first: _build_if_needed compares the .so's mtime against
+    # barkio.cc and recompiles when stale, so a pre-existing library from
+    # an older checkout can't shadow newly added entry points; the path
+    # scan is the fallback for source-less installs (prebuilt .so only).
+    path = _build_if_needed()
     if path is None:
-        path = _build_if_needed()
+        path = next((p for p in _LIB_PATHS if os.path.isfile(p)), None)
     if path is None:
         return None
     try:
@@ -243,8 +247,9 @@ def remove_small_zones_host2(class_maps: np.ndarray, w: int,
         return None
     class_maps = np.ascontiguousarray(class_maps, dtype=np.uint8)
     b, h = class_maps.shape[:2]
-    if packed and (w % 4 or class_maps.shape[2] != w // 4):
-        return None
+    if class_maps.shape[2] != (w // 4 if packed else w) or \
+            (packed and w % 4):
+        return None  # layout mismatch: graceful fallback, not OOB reads
     out = np.empty((b, h, w), np.uint8)
     counts = np.zeros((b, 3), np.int64)
     vh_ptr = None

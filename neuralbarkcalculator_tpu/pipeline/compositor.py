@@ -91,10 +91,12 @@ def _panel_photo(img: np.ndarray, tw: int, th: int) -> Image.Image:
     """Area-downsample the input photo (imshow antialiased resample).
 
     Like the matplotlib path (report.display_subsample), the full-res
-    photo is first stride-subsampled to >= ~1.5x the target raster —
-    BOX over the full 1024^2 array reads 3 MB per panel and the strided
-    pre-pass cuts that ~4x for no visible difference at figure scale
-    (the mpl renderer feeds Agg the same strided view)."""
+    photo is first stride-subsampled to >= ~1.5x the target raster
+    before the BOX resample (the mpl renderer feeds Agg the same kind
+    of strided view). For the pipeline's own <=1024-wide photos the
+    pre-pass engages below dpi ~135 — e.g. the dpi-100 bench figure,
+    where it cuts the 3 MB panel read ~4x; at the default dpi 200 the
+    target raster is already > 2/3 of the source and step stays 1."""
     step = min(img.shape[0] // max(1, round(1.5 * th)),
                img.shape[1] // max(1, round(1.5 * tw)))
     if step > 1:

@@ -145,6 +145,25 @@ def test_native_ccl_v2_fused_pass(rng):
                                            minlength=3))
 
 
+def test_native_ccl_v2_arbitrary_values_and_layout_guard(rng):
+    """Public-entry hardening: class values outside {0,1,2} must count
+    safely (the np.bincount this replaced tolerated any uint8), and a
+    mismatched plain layout must return None instead of reading out of
+    bounds in C."""
+    maps = np.full((1, 32, 32), 3, np.uint8)  # all value 3 (>= NUM_CLASSES)
+    res = native.remove_small_zones_host2(maps, 32)
+    if res is None:
+        pytest.skip("native lib unavailable")
+    out, counts = res
+    np.testing.assert_array_equal(counts[0], [0, 0, 0])  # 3s aren't 0/1/2
+    assert out.shape == (1, 32, 32)
+
+    # plain layout mismatch (w != shape[2]): graceful None, not OOB
+    assert native.remove_small_zones_host2(maps, 64) is None
+    # packed layout mismatch
+    assert native.remove_small_zones_host2(maps, 64, packed=True) is None
+
+
 def _write_bmp(path, rgb, bpp=24, top_down=False):
     """Hand-craft a BMP (24/32bpp, either row order) to exercise decoder
     paths PIL never writes."""
