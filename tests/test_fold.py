@@ -82,14 +82,23 @@ def test_folded_ragged_forward_matches(rng):
 
 
 def test_folded_train_mode_rejected(rng):
+    """Uses a one-stage backbone: the rejection raises at trace time in
+    FCNHead, so paying a full ResNet-50 init compile (~2 min on a 1-core
+    CPU host) would buy nothing over this 3-layer stand-in."""
+    import jax
     import jax.numpy as jnp
     from neuralbarkcalculator_tpu.models.fold import fold_model
-    from neuralbarkcalculator_tpu.models.segmentation import fcn_resnet50
+    from neuralbarkcalculator_tpu.models.heads import FCNHead
+    from neuralbarkcalculator_tpu.models.resnet import DilatedResNet
+    from neuralbarkcalculator_tpu.models.segmentation import SegmentationModel
 
-    model, variables = _init_model(fcn_resnet50)
+    model = SegmentationModel(backbone=DilatedResNet(stage_sizes=(1,)),
+                              classifier=FCNHead(3, dropout=0.5))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 3)), train=False)
     folded, fvars = fold_model(model, variables)
     with pytest.raises(ValueError, match="inference-only"):
-        folded.apply(fvars, jnp.zeros((1, 64, 64, 3)), train=True)
+        folded.apply(fvars, jnp.zeros((1, 16, 16, 3)), train=True)
 
 
 def test_folded_efficientnet_matches_unfolded(rng):
