@@ -221,9 +221,15 @@ def remove_small_zones_host(class_maps: np.ndarray,
     if valid_h is not None:
         valid_h = np.ascontiguousarray(valid_h, dtype=np.int32)
         vh_ptr = valid_h.ctypes.data_as(ctypes.c_void_p)
-    lib.remove_small_zones_batch(
+    rc = lib.remove_small_zones_batch(
         class_maps.ctypes.data_as(ctypes.c_void_p), b, h, w, vh_ptr,
         min_size, out.ctypes.data_as(ctypes.c_void_p), threads)
+    if rc != 0:  # per-image malloc failure / gigapixel guard: the output
+        # buffer may hold uninitialized bytes for the failed image —
+        # surfacing beats silently reporting garbage CSV stats
+        raise RuntimeError(
+            f"native remove_small_zones failed (barkio rc={rc}; "
+            f"out-of-memory or image beyond the int32 run-capacity guard)")
     return out[0] if single else out
 
 
@@ -261,6 +267,13 @@ def remove_small_zones_host2(class_maps: np.ndarray, w: int,
         vh_ptr, min_size, int(exclude_nodes),
         out.ctypes.data_as(ctypes.c_void_p),
         counts.ctypes.data_as(ctypes.c_void_p), threads)
-    if rc != 0:  # pragma: no cover - argument errors only
-        return None
+    if rc != 0:  # pragma: no cover - hard to provoke without OOM
+        # Argument errors (E_ARG) are pre-checked above, so a nonzero rc
+        # is a per-image runtime failure (malloc / gigapixel guard) and
+        # `out` may hold uninitialized bytes — raise rather than return
+        # None: the None path retries through remove_small_zones_host,
+        # which would fail the same way.
+        raise RuntimeError(
+            f"native remove_small_zones_batch2 failed (barkio rc={rc}; "
+            f"out-of-memory or image beyond the int32 run-capacity guard)")
     return out, counts

@@ -69,9 +69,10 @@ class NeuralBarkCalculator:
             # constant-fold eval-mode BN into conv kernels+biases: the
             # inference graph loses every BN elementwise pass
             # (models/fold.py; no reference equivalent — the reference
-            # always runs BN, torchvision models.py:113-139). Backbones
-            # without fold support (EfficientNet) skip quietly via the
-            # attribute check; a ValueError from the fold itself means
+            # always runs BN, torchvision models.py:113-139). The whole
+            # zoo folds (ResNet eps 1e-5, EfficientNet MBConv eps 1e-3);
+            # the attribute check keeps future fold-less backbones on
+            # the plain path. A ValueError from the fold itself means
             # the checkpoint doesn't match the model (missing
             # batch_stats, unrecognized BN scope) and must surface, not
             # silently run unfolded.
@@ -256,11 +257,16 @@ class NeuralBarkCalculator:
                 # link. Single-device only: group buffers concatenate on
                 # device without resharding there. (Groups never need
                 # dummy padding: n_pad == n when the data axis is 1.)
+                # The transfers go to the dedicated upload pool: pump_one
+                # itself runs on `pool`, and nesting the device_put tasks
+                # there would deadlock once `prefetch` pump tasks occupy
+                # every worker (each blocked on p.result() for subtasks
+                # queued behind them).
                 k = max(2, len(idxs) // 4)
                 items, parts = [], []
                 for gi in (idxs[:k], idxs[k:]):
                     gitems = decode_chunk(gi)
-                    parts.append(pool.submit(
+                    parts.append(upload_pool.submit(
                         jax.device_put, self._pad_group(gitems, pad_h),
                         self.rules.image_batch))
                     items.extend(gitems)
@@ -275,7 +281,8 @@ class NeuralBarkCalculator:
                 out = np.asarray(fut)  # worker blocks; GIL released
             return items, valid_h, out
 
-        with ThreadPoolExecutor(max_workers=8) as pool:
+        with ThreadPoolExecutor(max_workers=8) as pool, \
+                ThreadPoolExecutor(max_workers=2) as upload_pool:
             futs = {j: pool.submit(pump_one, *chunks[j])
                     for j in range(min(prefetch, len(chunks)))}
             for j, (pad_h, idxs) in enumerate(chunks):
@@ -445,9 +452,11 @@ class NeuralBarkCalculator:
         concurrent pump workers hitting the same cold shape must share
         ONE jit wrapper, or each would trace and compile the identical
         program — a plain lru_cache does not deduplicate in-flight
-        misses). The cache stays small by construction: heights are
-        bucketed (8 buckets worst case) and batch sizes take two values
-        (full and tail)."""
+        misses). Ragged backbones keep the cache small by construction
+        (8 height buckets worst case x full/tail batch); exact-height
+        backbones (EfficientNet) key on every distinct trimmed height,
+        so the cache is bounded — evicting a wrapper frees its XLA
+        executable, and a recurring height just recompiles."""
         key = (pad_h, batch, exact, pack)
         fn = self._step_cache.get(key)
         if fn is None:
@@ -456,6 +465,9 @@ class NeuralBarkCalculator:
                 if fn is None:
                     fn = self._build_device_step(pad_h, batch, exact,
                                                  pack)
+                    if len(self._step_cache) >= 64:
+                        self._step_cache.pop(
+                            next(iter(self._step_cache)), None)
                     self._step_cache[key] = fn
         return fn
 
@@ -526,12 +538,6 @@ class NeuralBarkCalculator:
             return _pack2bit(preds) if pack else preds
 
         return jax.jit(step, out_shardings=data_only)
-
-    def __hash__(self):  # lru_cache on methods hashes self
-        return id(self)
-
-    def __eq__(self, other):
-        return self is other
 
 
 # class maps carry 3 values in 8 bits; the device packs 4 pixels/byte

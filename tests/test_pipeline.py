@@ -422,3 +422,69 @@ def test_predict_odd_width_unpacked(checkpoint):
     for item, cmap in outs:
         assert cmap.shape == (48, 66) and cmap.dtype == np.uint8
         assert set(np.unique(cmap)).issubset({0, 1, 2})
+
+
+def test_predict_prefetch_saturating_pool_completes(checkpoint, tmp_path):
+    """prefetch >= the pump pool size must not deadlock: pump tasks used
+    to submit their pipelined device_put subtasks to the same 8-worker
+    pool, so 8 in-flight pump tasks blocked forever on subtasks queued
+    behind them. The uploads now go to a dedicated pool; this drives the
+    exact trigger (single-device mesh, pipelined uploads, chunks of >= 4,
+    prefetch 8, > 8 chunks) through a tiny model under a watchdog."""
+    import threading
+
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.models.heads import FCNHead
+    from neuralbarkcalculator_tpu.models.resnet import DilatedResNet
+    from neuralbarkcalculator_tpu.models.segmentation import (
+        MODEL_FACTORIES, SegmentationModel)
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.predict import NeuralBarkCalculator
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+
+    def tiny(dtype=jnp.float32):
+        # 4 stages of one block: the engine's ragged machinery assumes
+        # the production output stride 8 (pad_h // 8 row operators)
+        return SegmentationModel(
+            backbone=DilatedResNet(stage_sizes=(1, 1, 1, 1), dtype=dtype),
+            classifier=FCNHead(3, dropout=0.0, dtype=dtype))
+
+    MODEL_FACTORIES["_tiny_test"] = tiny
+    try:
+        variables = tiny().init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 32, 32, 3)), train=False)
+        ckpt = str(tmp_path / "tiny.msgpack")
+        with open(ckpt, "wb") as f:
+            f.write(flax.serialization.to_bytes(variables))
+
+        rng = np.random.default_rng(11)
+        # 36 same-height images, batch 4 -> 9 chunks of exactly 4
+        items = [ProcessedImage(
+            (rng.random((32, 32, 3)) * 255).astype(np.uint8),
+            f"i{k}.png", "sapin") for k in range(36)]
+        config = PredictConfig(model_path=ckpt, batch_size=4,
+                               use_bfloat16=False, height_bucket=32,
+                               prefetch=8, pipelined_uploads=True)
+        calc = NeuralBarkCalculator(ckpt, mesh=make_mesh(n_data=1),
+                                    config=config, model_name="_tiny_test")
+
+        got = []
+        err = []
+
+        def run():
+            try:
+                got.extend(m for _, m in calc.predict_images(items))
+            except BaseException as e:  # surfaces in the assert below
+                err.append(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout=240)
+        assert not t.is_alive(), "predict deadlocked with prefetch=8"
+        assert not err, err
+        assert len(got) == 36
+    finally:
+        MODEL_FACTORIES.pop("_tiny_test", None)
