@@ -135,8 +135,8 @@ class NeuralBarkCalculator:
             records = make_dataset(processed_path)
             names = [(r.fname, r.wood_type) for r in records]
 
-            def height_of(i: int) -> int:
-                return _header_height(records[i].sample_path)
+            def size_of(i: int) -> tuple[int, int]:
+                return _header_size(records[i].sample_path)
 
             def decode_chunk(idxs):
                 return [ProcessedImage(
@@ -145,8 +145,8 @@ class NeuralBarkCalculator:
         else:
             names = [(im.fname, im.wood_type) for im in images]
 
-            def height_of(i: int) -> int:
-                return images[i].image.shape[0]
+            def size_of(i: int) -> tuple[int, int]:
+                return images[i].image.shape[:2]
 
             def decode_chunk(idxs):
                 return [images[i] for i in idxs]
@@ -154,7 +154,7 @@ class NeuralBarkCalculator:
         done = (self._scan_resume(names, reporter, results_dir)
                 if resume else set())
         chunks = self._plan_chunks(
-            [(i, height_of(i)) for i in range(len(names))
+            [(i, *size_of(i)) for i in range(len(names))
              if i not in done])
 
         bar = None
@@ -186,7 +186,7 @@ class NeuralBarkCalculator:
         batch's host-side postprocess/yielding (``prefetch`` in-flight).
         """
         chunks = self._plan_chunks(
-            [(i, im.image.shape[0]) for i, im in enumerate(images)])
+            [(i, *im.image.shape[:2]) for i, im in enumerate(images)])
         for _, item, cmap, _counts in self._run_chunks(
                 chunks, lambda idxs: [images[i] for i in idxs],
                 exclude_nodes, prefetch=prefetch):
@@ -212,18 +212,23 @@ class NeuralBarkCalculator:
                 done.add(i)
         return done
 
-    def _plan_chunks(self, heights: list[tuple[int, int]]
+    def _plan_chunks(self, sizes: list[tuple[int, int, int]]
                      ) -> list[tuple[int, list[int]]]:
-        """(index, trimmed height) pairs -> [(pad_h, [index, ...])]: group
-        into static height buckets, split into batch-size chunks. The one
-        planner behind both the in-memory and streaming paths."""
-        buckets: dict[int, list[int]] = {}
-        for i, h in heights:
-            buckets.setdefault(self._bucket_of(h), []).append(i)
+        """(index, trimmed height, width) triples -> [(pad_h, [index...])]:
+        group into static (height bucket, width) shapes, split into
+        batch-size chunks. The one planner behind both the in-memory and
+        streaming paths. Width is a compiled-shape dimension like the
+        height bucket — folders are constant-width in practice (the
+        preprocessor emits 1024), but predict_images is a public API and
+        serving feeds it arbitrary request mixes, so same-height
+        different-width images must never share a chunk buffer."""
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, h, w in sizes:
+            buckets.setdefault((self._bucket_of(h), w), []).append(i)
         bs = self.config.batch_size
-        return [(pad_h, buckets[pad_h][s:s + bs])
-                for pad_h in sorted(buckets)
-                for s in range(0, len(buckets[pad_h]), bs)]
+        return [(pad_h, idxs[s:s + bs])
+                for (pad_h, _w), idxs in sorted(buckets.items())
+                for s in range(0, len(idxs), bs)]
 
     def _run_chunks(self, chunks, decode_chunk, exclude_nodes: bool,
                     prefetch: int | None = None):
@@ -555,15 +560,17 @@ def _pack2bit(m: "jnp.ndarray") -> "jnp.ndarray":
             | (m4[..., 3] << 6))
 
 
-def _header_height(path: str) -> int:
-    """Image height from the file header alone (no pixel decode)."""
+def _header_size(path: str) -> tuple[int, int]:
+    """Image (height, width) from the file header alone (no pixel
+    decode)."""
     from ..io.native import image_info
     info = image_info(path)
     if info is not None:
-        return info[0]
+        return info[0], info[1]
     from PIL import Image
     with open(path, "rb") as f:
-        return Image.open(f).size[1]  # lazy: header only
+        w, h = Image.open(f).size  # lazy: header only
+    return h, w
 
 
 def _load_variables(path: str, model_name: str) -> dict:

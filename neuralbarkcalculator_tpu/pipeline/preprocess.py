@@ -273,6 +273,16 @@ class Preprocessor:
                 fut.result()
         return results  # type: ignore[return-value]
 
+    def preprocess_one(self, img: np.ndarray) -> np.ndarray:
+        """Preprocess a single in-memory uint8 [h, w, 3] image (serving
+        path: one request, no folder). Host math — for one image the
+        device round trip never pays for itself; semantics identical to
+        the batched paths (reference models.py:191-203)."""
+        if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError(
+                f"expected uint8 [h, w, 3], got {img.dtype} {img.shape}")
+        return self._preprocess_host_one(img)
+
     def _preprocess_host_one(self, img: np.ndarray) -> np.ndarray:
         """Host twin of _preprocess_batch + the ragged crop: resize
         decision, spline resize, trim, uint8 quantization — identical

@@ -1,0 +1,267 @@
+"""Serving subsystem tests: micro-batcher exactness + the HTTP surface.
+
+The batcher must be a pure transport layer: a request's class map and
+stats must equal what the folder engine (predict_images + reporter math)
+produces for the same image — batching, width grouping, and the
+per-request exclude_nodes remap must never change numbers.
+"""
+import argparse
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _img(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.random((h, w, 3)) * 120 + 90).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def calc(tmp_path_factory):
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.models.segmentation import fcn_resnet50
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.predict import (
+        NeuralBarkCalculator)
+
+    model = fcn_resnet50(dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    path = tmp_path_factory.mktemp("serve_ckpt") / "model.msgpack"
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+    config = PredictConfig(model_path=str(path), batch_size=4,
+                           use_bfloat16=False, figure_dpi=50)
+    return NeuralBarkCalculator(str(path), mesh=make_mesh(n_data=2),
+                                config=config)
+
+
+def test_batcher_matches_direct_engine(calc):
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+    from neuralbarkcalculator_tpu.pipeline.serving import BatchingPredictor
+
+    imgs = [_img(h, 128, seed=i)
+            for i, h in enumerate((120, 128, 128, 96, 128))]
+    direct = {
+        it.fname: cm for it, cm in calc.predict_images(
+            [ProcessedImage(im, f"d{i}", "t") for i, im in enumerate(imgs)])
+    }
+
+    pred = BatchingPredictor(calc, batch_size=4, max_wait_ms=150.0)
+    try:
+        futs = [pred.submit(im) for im in imgs]
+        for i, fut in enumerate(futs):
+            res = fut.result(timeout=120)
+            np.testing.assert_array_equal(res.class_map, direct[f"d{i}"])
+            # stats must be the reporter's math over the same map
+            counts = np.bincount(res.class_map.ravel(), minlength=3)
+            assert res.counts.tolist() == counts.tolist()
+            assert res.bark_percent == pytest.approx(
+                counts[1] / res.class_map.size * 100.0)
+            assert res.batch_images >= 1
+        stats = pred.snapshot_stats()
+        assert stats["served"] == 5
+        assert stats["requests"] == 5
+        assert stats["errors"] == 0
+        assert stats["batches"] >= 2  # 5 images at batch 4 needs >= 2
+        assert stats["latency_ms_p50"] > 0
+    finally:
+        pred.close()
+
+
+def test_batcher_exclude_nodes_per_request(calc):
+    from neuralbarkcalculator_tpu.pipeline.serving import BatchingPredictor
+
+    img = _img(128, 128, seed=7)
+    pred = BatchingPredictor(calc, batch_size=2, max_wait_ms=150.0)
+    try:
+        f_keep = pred.submit(img, exclude_nodes=False)
+        f_excl = pred.submit(img, exclude_nodes=True)
+        keep, excl = f_keep.result(timeout=120), f_excl.result(timeout=120)
+        # same batch, both flavors: remap is exactly node->bark, after
+        # remove_small_zones (reference order, models.py:270-276)
+        np.testing.assert_array_equal(
+            excl.class_map,
+            np.where(keep.class_map == 2, 1, keep.class_map))
+        assert not (excl.class_map == 2).any()
+        assert excl.counts[2] == 0
+    finally:
+        pred.close()
+
+
+def test_batcher_mixed_widths(calc):
+    """Widths are compiled-shape dims: the engine's chunk planner must
+    split a mixed-size micro-batch by (height bucket, width), so any
+    arrival mix resolves correctly (this covers the public
+    predict_images API too — the direct call below is mixed-width)."""
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+    from neuralbarkcalculator_tpu.pipeline.serving import BatchingPredictor
+
+    imgs = [_img(128, 128, seed=1), _img(128, 96, seed=2),
+            _img(120, 128, seed=3), _img(96, 96, seed=4)]
+    direct = {
+        it.fname: cm for it, cm in calc.predict_images(
+            [ProcessedImage(im, f"d{i}", "t") for i, im in enumerate(imgs)])
+    }
+    pred = BatchingPredictor(calc, batch_size=4, max_wait_ms=100.0)
+    try:
+        futs = [pred.submit(im) for im in imgs]
+        for i, fut in enumerate(futs):
+            np.testing.assert_array_equal(
+                fut.result(timeout=120).class_map, direct[f"d{i}"])
+    finally:
+        pred.close()
+
+
+def test_batcher_rejects_bad_input_and_close(calc):
+    from neuralbarkcalculator_tpu.pipeline.serving import BatchingPredictor
+
+    pred = BatchingPredictor(calc, batch_size=2, max_wait_ms=10.0)
+    with pytest.raises(ValueError):
+        pred.submit(np.zeros((8, 8), np.uint8))  # no channel dim
+    with pytest.raises(ValueError):
+        pred.submit(np.zeros((8, 8, 3), np.float32))  # wrong dtype
+    pred.close()
+    with pytest.raises(RuntimeError):
+        pred.submit(np.zeros((8, 8, 3), np.uint8))
+    # double close is a no-op
+    pred.close()
+
+
+# --------------------------------------------------------------- HTTP
+
+
+@pytest.fixture(scope="module")
+def server(calc):
+    """ThreadingHTTPServer on an ephemeral port over the shared calc
+    (make_server would build its own model; wire the fixture's in
+    directly to keep the suite fast)."""
+    from http.server import ThreadingHTTPServer
+
+    from neuralbarkcalculator_tpu.cli.serve import (BarkHandler,
+                                                    _ServerState,
+                                                    serve_in_thread)
+    from neuralbarkcalculator_tpu.pipeline.preprocess import Preprocessor
+    from neuralbarkcalculator_tpu.pipeline.serving import BatchingPredictor
+
+    predictor = BatchingPredictor(calc, batch_size=2, max_wait_ms=10.0)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), BarkHandler)
+    srv.state = _ServerState(predictor, Preprocessor(), "fcn_resnet50",
+                             timeout_s=120.0, dpi=50)
+    thread = serve_in_thread(srv)
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+    predictor.close()
+    thread.join(timeout=10)
+
+
+def _conn(server):
+    return http.client.HTTPConnection("127.0.0.1",
+                                      server.server_address[1], timeout=150)
+
+
+def _png_bytes(img):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_http_predict_json(server):
+    body = _png_bytes(_img(128, 128, seed=11))
+    c = _conn(server)
+    c.request("POST", "/v1/predict", body=body,
+              headers={"Content-Type": "application/octet-stream"})
+    r = c.getresponse()
+    assert r.status == 200
+    payload = json.loads(r.read())
+    assert payload["height"] == 128 and payload["width"] == 128
+    assert payload["source_height"] == 128
+    assert 0.0 <= payload["bark_percent"] <= 100.0
+    assert payload["bark_area_mm2"] == pytest.approx(
+        payload["class_pixels"][1] * 3.6 * 3.6)
+    assert sum(payload["class_pixels"]) == 128 * 128
+    assert payload["batch_images"] >= 1
+    c.close()
+
+
+def test_http_predict_mask_and_exclude(server):
+    body = _png_bytes(_img(128, 128, seed=12))
+    c = _conn(server)
+    c.request("POST", "/v1/predict?format=mask", body=body)
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "image/png"
+    mask = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert mask.shape == (128, 128)
+    assert set(np.unique(mask)) <= {0, 127, 255}
+
+    c.request("POST", "/v1/predict?format=mask&exclude_nodes=1", body=body)
+    r = c.getresponse()
+    excl = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert set(np.unique(excl)) <= {0, 127}
+    np.testing.assert_array_equal(excl, np.where(mask == 255, 127, mask))
+    c.close()
+
+
+def test_http_predict_combined_figure(server):
+    body = _png_bytes(_img(128, 128, seed=13))
+    c = _conn(server)
+    c.request("POST", "/v1/predict?format=combined&dpi=50", body=body)
+    r = c.getresponse()
+    assert r.status == 200
+    fig = Image.open(io.BytesIO(r.read()))
+    assert fig.size[0] > fig.size[1]  # side-by-side landscape layout
+    c.close()
+
+
+def test_http_preprocess_applied(server):
+    """A square image with dark bands must be trimmed before prediction
+    (reference models.py:191-201), visible in the returned height."""
+    img = _img(128, 128, seed=14)
+    img[:16] = 0
+    img[-8:] = 0
+    c = _conn(server)
+    c.request("POST", "/v1/predict", body=_png_bytes(img))
+    payload = json.loads(c.getresponse().read())
+    assert payload["height"] == 128 - 16 - 8
+    assert payload["source_height"] == 128
+    c.close()
+
+
+def test_http_health_stats_errors(server):
+    c = _conn(server)
+    c.request("GET", "/healthz")
+    health = json.loads(c.getresponse().read())
+    assert health["ok"] is True and health["model"] == "fcn_resnet50"
+    assert health["n_devices"] >= 1
+
+    c.request("GET", "/v1/stats")
+    stats = json.loads(c.getresponse().read())
+    assert stats["served"] >= 1 and stats["errors"] == 0
+
+    c.request("GET", "/nope")
+    assert c.getresponse().status == 404
+    c.request("POST", "/v1/nope", body=b"x")
+    assert c.getresponse().status == 404
+
+    c.request("POST", "/v1/predict", body=b"not an image")
+    r = c.getresponse()
+    assert r.status == 400
+    assert "undecodable" in json.loads(r.read())["error"]
+
+    c.request("POST", "/v1/predict?format=tiff", body=b"x")
+    assert c.getresponse().status == 400
+
+    c.request("POST", "/v1/predict")  # no body
+    assert c.getresponse().status == 400
+    c.close()
