@@ -125,6 +125,15 @@ class BatchingPredictor:
         futs = [self.submit(img) for _ in range(self.batch_size)]
         for f in futs:
             f.result()
+        # compile time must not pollute production telemetry (a warmup
+        # "request" is minutes; p95 would read as the compile forever)
+        self.reset_stats()
+
+    def reset_stats(self) -> None:
+        with self._stats_lock:
+            for k in self.stats:
+                self.stats[k] = 0
+            self._latencies.clear()
 
     def close(self, timeout: float | None = 30.0) -> None:
         """Stop the worker after draining already-queued requests."""

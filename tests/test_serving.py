@@ -137,6 +137,24 @@ def test_batcher_rejects_bad_input_and_close(calc):
     pred.close()
 
 
+def test_warmup_resets_stats(calc):
+    """Warmup pays the compile; telemetry must start clean afterwards
+    (a minutes-long warmup 'request' would own p95 forever)."""
+    from neuralbarkcalculator_tpu.pipeline.serving import BatchingPredictor
+
+    pred = BatchingPredictor(calc, batch_size=2, max_wait_ms=10.0)
+    try:
+        pred.warmup(height=64, width=64)
+        stats = pred.snapshot_stats()
+        assert stats["served"] == 0 and stats["requests"] == 0
+        assert "latency_ms_p50" not in stats
+        res = pred.submit(_img(64, 64)).result(timeout=120)
+        assert res.class_map.shape == (64, 64)
+        assert pred.snapshot_stats()["served"] == 1
+    finally:
+        pred.close()
+
+
 # --------------------------------------------------------------- HTTP
 
 
