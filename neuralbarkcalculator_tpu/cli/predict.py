@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--float32", action="store_true", default=False,
                         help="run the conv stack in float32 instead of "
                              "bfloat16")
+    parser.add_argument("--int8", action="store_true", default=False,
+                        help="int8 inference: post-training quantization "
+                             "calibrated on the first batch "
+                             "(models/quantize.py) — ~1.6-2x faster "
+                             "device step, approximate class maps")
     parser.add_argument("--resume", action="store_true", default=False,
                         help="skip images whose results/ artifacts already "
                              "exist (resumable folder runs)")
@@ -99,6 +104,8 @@ def main(args: argparse.Namespace) -> None:
         config.figure_dpi = args.dpi
     if args.float32:
         config.use_bfloat16 = False
+    if args.int8:
+        config.quantize_int8 = True
     if args.mpl:
         config.renderer = "mpl"
 

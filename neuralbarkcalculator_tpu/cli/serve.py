@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="pending-request bound; beyond it requests "
                              "get 503 backpressure")
     parser.add_argument("--float32", action="store_true", default=False)
+    parser.add_argument("--int8", action="store_true", default=False,
+                        help="int8 inference (post-training quantization "
+                             "calibrated on the warmup batch) — faster "
+                             "device step, approximate class maps")
     parser.add_argument("--no_warmup", action="store_true", default=False,
                         help="skip the startup compile of the canonical "
                              "1024x1024 batch shapes")
@@ -253,6 +257,8 @@ def make_server(args: argparse.Namespace) -> ThreadingHTTPServer:
         config.batch_size = args.batch_size
     if args.float32:
         config.use_bfloat16 = False
+    if args.int8:
+        config.quantize_int8 = True
     calc = NeuralBarkCalculator(args.model_path, config=config,
                                 model_name=args.model)
     predictor = BatchingPredictor(calc, batch_size=config.batch_size,

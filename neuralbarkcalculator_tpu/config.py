@@ -131,6 +131,12 @@ class PredictConfig:
     # batch_stats) into conv kernels+biases at load (models/fold.py) —
     # removes every BN elementwise pass from the inference graph;
     # backbones without fold support fall back to the unfolded forward
+    quantize_int8: bool = False  # opt-in int8 inference: post-training
+    # per-channel weight + static activation quantization calibrated on
+    # the first chunk (models/quantize.py). ~1.6-2x faster device step
+    # (benchmarks/int8_probe.json) but APPROXIMATE — class maps can
+    # differ from f32 on a small fraction of boundary pixels, so the
+    # default stays on the exact bf16 path
     prefetch: int = 2  # chunks in flight in the predict pump: each holds
     # its host batch + device buffers + pulled maps (~30 MB per chunk of
     # 8 at 1024^2), and higher values keep a slow host<->device link busy

@@ -29,11 +29,16 @@ class FCNHead(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     folded: bool = False  # BN folded into conv1 (models/fold.py)
+    quantized: bool = False  # int8 inference mode (models/quantize.py)
+
+    supports_quantize = True
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_h=None):
-        if self.folded and train:
-            raise ValueError("folded models are inference-only")
+        if (self.folded or self.quantized) and train:
+            raise ValueError("folded/quantized models are inference-only")
+        if self.quantized:
+            return self._quantized_forward(x, valid_h)
         inter = x.shape[-1] // 4
         x = apply_row_mask(x, valid_h)
         x = nn.Conv(inter, (3, 3), padding=[(1, 1), (1, 1)],
@@ -44,10 +49,32 @@ class FCNHead(nn.Module):
                              epsilon=1e-5, dtype=jnp.float32,
                              name="bn1")(x)
         x = nn.relu(x)
+        if self.folded:  # calibration point (models/quantize.py)
+            self.sow("quant_stats", "q_t1", jnp.max(jnp.abs(x)))
         x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         x = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
                     name="conv2")(x)
         return x
+
+    def _quantized_forward(self, x_q, valid_h):
+        """int8 backbone features (scale baked into conv1_m) -> f32
+        logits. Dropout is an inference no-op (deterministic), so the
+        quantized graph simply omits it."""
+        from . import qops
+
+        def qp(name, shape, dtype=jnp.float32):
+            return self.param(name, nn.initializers.zeros, shape, dtype)
+
+        cin = x_q.shape[-1]
+        inter = cin // 4
+        x_q = apply_row_mask(x_q, valid_h)
+        acc = qops.qconv(x_q, qp("conv1_q", (3, 3, cin, inter), jnp.int8))
+        t1 = qops.requant_relu(acc, qp("conv1_m", (inter,)),
+                               qp("conv1_b", (inter,)))
+        acc = qops.qconv(t1, qp("conv2_q", (1, 1, inter, self.channels),
+                                jnp.int8))
+        return qops.dequant(acc, qp("conv2_m", (self.channels,)),
+                            qp("conv2_b", (self.channels,)))
 
 
 class ASPPConv(nn.Module):

@@ -1,0 +1,153 @@
+"""Post-training int8 quantization (calibrate -> convert -> int8 model).
+
+Turns a folded inference model (models/fold.py) into the ``quantized=True``
+int8 module mode (models/resnet.py, models/heads.py, primitives in
+models/qops.py): symmetric per-output-channel weight scales, static
+per-tensor activation scales calibrated as max|x|/127 over a few batches
+of representative data, and offline-precomputed requantization epilogues
+(m[c] = s_in * s_w[c] / s_next, b[c] = bias[c] / s_next) so the runtime
+graph is conv_int8 -> fused multiply-add -> round/clip/cast, nothing else.
+
+Measured on the v5e MXU the int8 convs run 1.6-2.05x faster than bf16 at
+this model's hot shapes (benchmarks/int8_probe.json) and the int8
+activations halve HBM traffic everywhere. The mode is opt-in and
+approximate: class maps typically agree with f32 on >99% of pixels
+(tests/test_quantize.py pins a floor), while the default bf16 path keeps
+the reference-parity guarantees. No reference equivalent (the reference
+runs f32 CPU inference, models.py:249-262).
+
+Scope: DilatedResNet backbones + FCNHead (the production fcn_resnet50
+and fcn_resnet101). DeepLab/EfficientNet raise — their SE/swish/ASPP
+graphs need per-op treatment that this release does not carry.
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from .fold import fold_model
+
+_EPS = 1e-6  # floor for calibrated scales (dead tensors/channels)
+
+
+def calibrate(model, variables: Mapping[str, Any],
+              batches: Sequence[Any]) -> dict:
+    """Run the folded f32/bf16 model over calibration batches, collecting
+    per-tensor max-abs from the ``quant_stats`` sows. Returns a flat dict
+    {scope tuple -> float max-abs} aggregated (max) across batches."""
+    from .segmentation import SegmentationModel
+
+    agg: dict[tuple, float] = {}
+    for x in batches:
+        _, state = model.apply(
+            variables, jnp.asarray(x), train=False,
+            method=SegmentationModel.head_logits,
+            mutable=["quant_stats"])
+        for path, vals in flatten_dict(state["quant_stats"]).items():
+            v = float(np.max([np.asarray(v) for v in vals]))
+            agg[path] = max(agg.get(path, 0.0), v)
+    return agg
+
+
+def _quantize_conv(out: dict, scope: tuple, kernel: np.ndarray,
+                   bias: np.ndarray, s_in: float,
+                   s_next: float | None) -> None:
+    """Emit {scope}_q / {scope}_m / {scope}_b for one conv. ``s_next``
+    None means the consumer wants real units (residual adds, logits)."""
+    k = np.asarray(kernel, np.float64)
+    b = np.asarray(bias, np.float64)
+    w_scale = np.maximum(np.max(np.abs(k), axis=(0, 1, 2)) / 127.0, _EPS)
+    out[scope[:-1] + (scope[-1] + "_q",)] = np.clip(
+        np.rint(k / w_scale), -127, 127).astype(np.int8)
+    if s_next is None:
+        m, bq = s_in * w_scale, b
+    else:
+        m, bq = s_in * w_scale / s_next, b / s_next
+    out[scope[:-1] + (scope[-1] + "_m",)] = m.astype(np.float32)
+    out[scope[:-1] + (scope[-1] + "_b",)] = bq.astype(np.float32)
+
+
+def quantize_variables(folded_variables: Mapping[str, Any], stats: dict,
+                       stage_sizes: Sequence[int]) -> dict:
+    """Folded {'params'} + calibration stats -> quantized {'params'}.
+
+    Walks the backbone blocks in dataflow order so each block's input
+    scale is its producer's output scale (stem feeds layer1_0, each
+    block feeds the next, layer4's last block feeds the FCN head)."""
+    params = flatten_dict(folded_variables["params"])
+    out: dict[tuple, np.ndarray] = {}
+
+    def scale(*path: str) -> float:
+        if path not in stats:
+            raise ValueError(f"calibration stats missing {path} — was the "
+                             "calibration run on the folded model?")
+        return max(stats[path] / 127.0, _EPS)
+
+    def conv(scope: tuple, s_in: float, s_next: float | None) -> None:
+        _quantize_conv(out, scope, params[scope + ("kernel",)],
+                       params[scope + ("bias",)], s_in, s_next)
+
+    s_img = scale("backbone", "q_in")
+    out[("backbone", "inv_s_in")] = np.float32(1.0 / s_img)
+    s_prev = scale("backbone", "q_stem")
+    conv(("backbone", "conv1"), s_img, s_prev)
+
+    inplanes = 64
+    for stage, num_blocks in enumerate(stage_sizes):
+        planes = 64 * (2 ** stage)
+        stride = 1 if stage == 0 else 2
+        # downsample presence must mirror models/resnet.py: every stage's
+        # first block has inplanes != planes*4, so stride-vs-dilation
+        # replacement cannot change the outcome
+        for block in range(num_blocks):
+            name = f"layer{stage + 1}_{block}"
+            bscope = ("backbone", name)
+            s_t1 = scale(*bscope, "q_t1")
+            s_t2 = scale(*bscope, "q_t2")
+            s_out = scale(*bscope, "q_out")
+            conv(bscope + ("conv1",), s_prev, s_t1)
+            conv(bscope + ("conv2",), s_t1, s_t2)
+            conv(bscope + ("conv3",), s_t2, None)
+            if block == 0 and (stride != 1 or inplanes != planes * 4):
+                conv(bscope + ("downsample_conv",), s_prev, None)
+            else:
+                out[bscope + ("s_in",)] = np.float32(s_prev)
+            out[bscope + ("inv_s_out",)] = np.float32(1.0 / s_out)
+            s_prev = s_out
+            inplanes = planes * 4
+
+    s_h1 = scale("classifier", "q_t1")
+    conv(("classifier", "conv1"), s_prev, s_h1)
+    conv(("classifier", "conv2"), s_h1, None)
+    return {"params": unflatten_dict(out)}
+
+
+def quantize_model(model, variables: Mapping[str, Any],
+                   calib_batches: Sequence[Any]):
+    """(model, vars, calibration batches) -> (int8 model, int8 vars).
+
+    Accepts either an unfolded model (+batch_stats; folded internally) or
+    an already-folded one. ``calib_batches``: an iterable of normalized
+    NHWC f32 batches representative of inference inputs (a handful of
+    images is enough for max-abs calibration)."""
+    for part, label in ((model.backbone, "backbone"),
+                        (model.classifier, "head")):
+        if not getattr(part, "supports_quantize", False):
+            raise ValueError(
+                f"{label} {type(part).__name__} has no int8 inference "
+                "mode (supported: DilatedResNet backbones + FCNHead)")
+    if "batch_stats" in variables:
+        model, variables = fold_model(model, variables)
+    elif not getattr(model.backbone, "folded", False):
+        raise ValueError("quantize_model needs batch_stats or an "
+                         "already-folded (model, variables) pair")
+    stats = calibrate(model, variables, calib_batches)
+    qvars = quantize_variables(variables, stats,
+                               tuple(model.backbone.stage_sizes))
+    qmodel = model.clone(
+        backbone=model.backbone.clone(quantized=True),
+        classifier=model.classifier.clone(quantized=True))
+    return qmodel, qvars

@@ -62,7 +62,15 @@ class Bottleneck(nn.Module):
     ``folded``: inference-only mode where every BatchNorm has been
     constant-folded into its producer conv's kernel + a bias
     (models/fold.py) — the BN ops vanish from the traced graph and the
-    convs carry biases instead."""
+    convs carry biases instead.
+
+    ``quantized``: int8 inference mode (models/quantize.py builds the
+    parameters from a folded checkpoint + calibration stats). The block
+    consumes and produces int8 activations; convs run int8 x int8 ->
+    int32 on the MXU with fused requantizing epilogues (models/qops.py).
+    The folded forward additionally sows per-tensor max-abs values into
+    the ``quant_stats`` collection (dead code unless the caller passes
+    ``mutable=["quant_stats"]``) — that is the calibration pass."""
 
     planes: int
     stride: int = 1
@@ -70,11 +78,14 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     dtype: Dtype = jnp.float32
     folded: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_h=None):
-        if self.folded and train:
-            raise ValueError("folded models are inference-only")
+        if (self.folded or self.quantized) and train:
+            raise ValueError("folded/quantized models are inference-only")
+        if self.quantized:
+            return self._quantized_forward(x, valid_h)
         norm = lambda name: (  # noqa: E731
             (lambda z: z) if self.folded else nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -88,11 +99,16 @@ class Bottleneck(nn.Module):
         identity = x
         out = conv(self.planes, 1, 1, 1, "conv1")(x)
         out = nn.relu(norm("bn1")(out))
+        if self.folded:  # calibration point (models/quantize.py); gated
+            # so plain model.init never emits a quant_stats collection
+            self.sow("quant_stats", "q_t1", jnp.max(jnp.abs(out)))
         # conv2 is the only row-mixing op in the block: mask its input so
         # rows beyond valid_h read as zero (= reference conv zero-padding).
         out = apply_row_mask(out, valid_h)
         out = conv(self.planes, 3, self.stride, self.dilation, "conv2")(out)
         out = nn.relu(norm("bn2")(out))
+        if self.folded:
+            self.sow("quant_stats", "q_t2", jnp.max(jnp.abs(out)))
         out = conv(self.planes * 4, 1, 1, 1, "conv3")(out)
         out = norm("bn3")(out)
 
@@ -101,7 +117,41 @@ class Bottleneck(nn.Module):
                             "downsample_conv")(x)
             identity = norm("downsample_bn")(identity)
 
-        return nn.relu(out + identity.astype(out.dtype))
+        out = nn.relu(out + identity.astype(out.dtype))
+        if self.folded:
+            self.sow("quant_stats", "q_out", jnp.max(jnp.abs(out)))
+        return out
+
+    def _quantized_forward(self, x_q, valid_h):
+        """int8 path: x_q int8 at scale s_in -> int8 at scale s_out.
+        Parameter layout is produced by models/quantize.py; m/b arrays
+        carry the combined requant multipliers (see models/qops.py)."""
+        from . import qops
+
+        def qp(name, shape, dtype=jnp.float32):
+            return self.param(name, nn.initializers.zeros, shape, dtype)
+
+        cin = x_q.shape[-1]
+        p, p4 = self.planes, self.planes * 4
+        acc = qops.qconv(x_q, qp("conv1_q", (1, 1, cin, p), jnp.int8))
+        t1 = qops.requant_relu(acc, qp("conv1_m", (p,)), qp("conv1_b", (p,)))
+        t1 = apply_row_mask(t1, valid_h)  # int8 mask multiply: 0/1
+        acc = qops.qconv(t1, qp("conv2_q", (3, 3, p, p), jnp.int8),
+                         self.stride, self.dilation)
+        t2 = qops.requant_relu(acc, qp("conv2_m", (p,)), qp("conv2_b", (p,)))
+        acc = qops.qconv(t2, qp("conv3_q", (1, 1, p, p4), jnp.int8))
+        out = qops.dequant(acc, qp("conv3_m", (p4,)), qp("conv3_b", (p4,)))
+
+        if self.has_downsample:
+            acc = qops.qconv(x_q, qp("downsample_conv_q", (1, 1, cin, p4),
+                                     jnp.int8), self.stride)
+            identity = qops.dequant(acc, qp("downsample_conv_m", (p4,)),
+                                    qp("downsample_conv_b", (p4,)))
+        else:
+            identity = x_q.astype(jnp.float32) * qp("s_in", ())
+        out = nn.relu(out + identity)
+        return jnp.clip(jnp.round(out * qp("inv_s_out", ())),
+                        0, 127).astype(jnp.int8)
 
 
 class _S2DStemConv(nn.Module):
@@ -158,12 +208,14 @@ class DilatedResNet(nn.Module):
     replace_stride_with_dilation: Sequence[bool] = (False, True, True)
     dtype: Dtype = jnp.float32
     folded: bool = False  # BN constant-folded into convs (models/fold.py)
+    quantized: bool = False  # int8 inference mode (models/quantize.py)
     s2d_stem: bool = False  # stem as space-to-depth conv (_S2DStemConv)
 
     # Fixed symmetric conv padding makes zero-padded batches bit-exact
     # with per-image row masks (predict engine's ragged bucketing).
     supports_ragged = True
     supports_fold = True
+    supports_quantize = True  # int8 post-training quantization
     bn_eps = 1e-5  # torchvision BatchNorm2d default (models/fold.py)
 
     @property
@@ -177,22 +229,45 @@ class DilatedResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_h=None):
-        if self.folded and train:
-            raise ValueError("folded models are inference-only")
+        if (self.folded or self.quantized) and train:
+            raise ValueError("folded/quantized models are inference-only")
+        if self.quantized and self.s2d_stem:
+            raise ValueError("quantized mode uses the plain stem conv")
         # The raw input is zero below valid_h by construction (host pads
         # with zeros), so the stem conv needs no input mask.
-        if self.s2d_stem:
-            x = _S2DStemConv(folded=self.folded, dtype=self.dtype,
-                             name="conv1")(x)
+        if self.quantized:
+            from . import qops
+            # f32 normalized input -> int8 at the calibrated input scale
+            # (zeros map to zero, preserving the ragged padding invariant)
+            x = qops.quantize_act(
+                x, self.param("inv_s_in", nn.initializers.ones, ()))
+            acc = qops.qconv(x, self.param("conv1_q", nn.initializers.zeros,
+                                           (7, 7, 3, 64), jnp.int8),
+                             stride=2)
+            x = qops.requant_relu(
+                acc, self.param("conv1_m", nn.initializers.zeros, (64,)),
+                self.param("conv1_b", nn.initializers.zeros, (64,)))
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2),
-                        padding=[(3, 3), (3, 3)], use_bias=self.folded,
-                        dtype=self.dtype, name="conv1")(x)
-        if not self.folded:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
-                             name="bn1")(x)
-        x = nn.relu(x)
+            if self.folded:  # calibration point; gated so plain
+                # model.init never emits a quant_stats collection
+                self.sow("quant_stats", "q_in", jnp.max(jnp.abs(x)))
+            if self.s2d_stem:
+                x = _S2DStemConv(folded=self.folded, dtype=self.dtype,
+                                 name="conv1")(x)
+            else:
+                x = nn.Conv(64, (7, 7), strides=(2, 2),
+                            padding=[(3, 3), (3, 3)], use_bias=self.folded,
+                            dtype=self.dtype, name="conv1")(x)
+            if not self.folded:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=jnp.float32, name="bn1")(x)
+            x = nn.relu(x)
+            # max-pool below is a spatial max of post-ReLU values, so the
+            # stem's max-abs (and hence its scale) survives the pool —
+            # one sow covers both the pre- and post-pool tensor.
+            if self.folded:
+                self.sow("quant_stats", "q_stem", jnp.max(jnp.abs(x)))
         h = None if valid_h is None else conv_out_size(valid_h, 7, 2, 3)
         # max_pool mixes rows; masked zeros are equivalent to torch's -inf
         # padding here because pre-pool activations are post-ReLU (>= 0).
@@ -221,6 +296,7 @@ class DilatedResNet(nn.Module):
                         stride != 1 or inplanes != planes * 4),
                     dtype=self.dtype,
                     folded=self.folded,
+                    quantized=self.quantized,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train, valid_h=h)
                 inplanes = planes * 4

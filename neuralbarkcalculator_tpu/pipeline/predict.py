@@ -78,6 +78,22 @@ class NeuralBarkCalculator:
             # silently run unfolded.
             from ..models.fold import fold_model
             self.model, variables = fold_model(self.model, variables)
+        # int8 inference (opt-in, approximate): calibration needs real
+        # images, so it runs lazily on the first chunk (_run_chunks); a
+        # host copy of the variables avoids pulling 132 MB of params back
+        # through the device link for the conversion.
+        self._quantize_pending = bool(getattr(self.config, "quantize_int8",
+                                              False))
+        self._quant_lock = threading.Lock()
+        if self._quantize_pending:
+            for part, label in ((self.model.backbone, "backbone"),
+                                (self.model.classifier, "head")):
+                if not getattr(part, "supports_quantize", False):
+                    raise ValueError(
+                        f"quantize_int8: {label} "
+                        f"{type(part).__name__} has no int8 mode "
+                        "(supported: ResNet backbones + FCN head)")
+            self._host_variables = jax.tree.map(np.asarray, variables)
         self.variables = jax.device_put(variables, self.rules.replicated)
         self.mean = np.asarray(self.config.mean, np.float32)
         self.std = np.asarray(self.config.std, np.float32)
@@ -250,6 +266,8 @@ class NeuralBarkCalculator:
         if prefetch is None:
             prefetch = getattr(self.config, "prefetch", 2)
         prefetch = max(1, prefetch)
+        if self._quantize_pending and chunks:
+            self._calibrate_quantize(chunks, decode_chunk)
 
         def pump_one(pad_h, idxs):
             if (getattr(self.config, "pipelined_uploads", True)
@@ -297,6 +315,35 @@ class NeuralBarkCalculator:
                         pump_one, *chunks[j + prefetch])
                 yield from self._finish_batch_raw(exclude_nodes, idxs,
                                                   items, valid_h, out)
+
+    def _calibrate_quantize(self, chunks, decode_chunk) -> None:
+        """First-chunk int8 calibration (PredictConfig.quantize_int8).
+
+        Decodes up to 4 images of the first chunk, builds one normalized
+        zero-padded f32 batch, and runs models/quantize.quantize_model on
+        the host-variable copy: one extra forward compile at the calib
+        shape, then the engine swaps to the int8 (model, variables) pair
+        for every subsequent step. Padded rows are zeroed, not masked,
+        during calibration — they only make the max-abs scales slightly
+        conservative, never wrong."""
+        with self._quant_lock:
+            if not self._quantize_pending:
+                return
+            from ..models.quantize import quantize_model
+            pad_h, idxs = chunks[0]
+            items = decode_chunk(idxs[:4])
+            w = items[0].image.shape[1]
+            batch = np.zeros((len(items), pad_h, w, 3), np.float32)
+            for i, it in enumerate(items):
+                h = it.image.shape[0]
+                batch[i, :h] = (it.image.astype(np.float32) / 255.0
+                                - self.mean) / self.std
+            with stage_timer("predict/quantize_calibration"):
+                self.model, qvars = quantize_model(
+                    self.model, self._host_variables, [batch])
+            self.variables = jax.device_put(qvars, self.rules.replicated)
+            del self._host_variables
+            self._quantize_pending = False
 
     def _finish_batch_raw(self, exclude_nodes, chunk_idxs, items, valid_h,
                           out):
@@ -542,7 +589,18 @@ class NeuralBarkCalculator:
             preds = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
             return _pack2bit(preds) if pack else preds
 
-        return jax.jit(step, out_shardings=data_only)
+        # scoped-vmem headroom: XLA:TPU's buffer assignment sometimes
+        # stack-allocates the pallas kernel's whole [B, OH, OW] u8 output
+        # (plus operands) in scoped VMEM; at batch 8 the int8 program hit
+        # the default 16 MB limit as a compile-time OOM ("should not be
+        # possible", per the error text). v5e has 128 MB of VMEM and the
+        # kernel itself stages ~1 MB blocks, so doubling the scoped limit
+        # for THIS program is free headroom, not a perf trade.
+        options = ({"xla_tpu_scoped_vmem_limit_kib": 32768}
+                   if use_pallas and jax.default_backend() == "tpu"
+                   else None)
+        return jax.jit(step, out_shardings=data_only,
+                       compiler_options=options)
 
 
 # class maps carry 3 values in 8 bits; the device packs 4 pixels/byte
