@@ -16,9 +16,9 @@ approximate: class maps typically agree with f32 on >99% of pixels
 the reference-parity guarantees. No reference equivalent (the reference
 runs f32 CPU inference, models.py:249-262).
 
-Scope: DilatedResNet backbones + FCNHead (the production fcn_resnet50
-and fcn_resnet101). DeepLab/EfficientNet raise — their SE/swish/ASPP
-graphs need per-op treatment that this release does not carry.
+Scope: DilatedResNet backbones + FCNHead/DeepLabHead (fcn_resnet50/101,
+deeplabv3_resnet50/101). EfficientNet raises — its SE/swish graph needs
+per-op treatment that this release does not carry.
 """
 from __future__ import annotations
 
@@ -71,12 +71,14 @@ def _quantize_conv(out: dict, scope: tuple, kernel: np.ndarray,
 
 
 def quantize_variables(folded_variables: Mapping[str, Any], stats: dict,
-                       stage_sizes: Sequence[int]) -> dict:
+                       stage_sizes: Sequence[int],
+                       head: str = "fcn") -> dict:
     """Folded {'params'} + calibration stats -> quantized {'params'}.
 
     Walks the backbone blocks in dataflow order so each block's input
     scale is its producer's output scale (stem feeds layer1_0, each
-    block feeds the next, layer4's last block feeds the FCN head)."""
+    block feeds the next, layer4's last block feeds the head).
+    ``head``: 'fcn' (FCNHead) or 'deeplab' (DeepLabHead/ASPP)."""
     params = flatten_dict(folded_variables["params"])
     out: dict[tuple, np.ndarray] = {}
 
@@ -119,9 +121,30 @@ def quantize_variables(folded_variables: Mapping[str, Any], stats: dict,
             s_prev = s_out
             inplanes = planes * 4
 
-    s_h1 = scale("classifier", "q_t1")
-    conv(("classifier", "conv1"), s_prev, s_h1)
-    conv(("classifier", "conv2"), s_h1, None)
+    if head == "fcn":
+        s_h1 = scale("classifier", "q_t1")
+        conv(("classifier", "conv1"), s_prev, s_h1)
+        conv(("classifier", "conv2"), s_h1, None)
+    elif head == "deeplab":
+        aspp = ("classifier", "aspp")
+        s_cat = scale(*aspp, "q_cat")
+        conv(aspp + ("b0_conv",), s_prev, s_cat)
+        for i in range(3):  # ASPP.rates branches, all requant to s_cat
+            conv(aspp + (f"b{i + 1}", "conv"), s_prev, s_cat)
+        # pooled branch stays f32 (models/heads.py ASPP._quantized_forward)
+        out[aspp + ("pool_conv_kernel",)] = np.asarray(
+            params[aspp + ("pool_conv", "kernel")], np.float32)[0, 0]
+        out[aspp + ("pool_conv_bias",)] = np.asarray(
+            params[aspp + ("pool_conv", "bias")], np.float32)
+        out[aspp + ("s_in",)] = np.float32(s_prev)
+        out[aspp + ("inv_s_cat",)] = np.float32(1.0 / s_cat)
+        s_proj = scale(*aspp, "q_proj")
+        conv(aspp + ("project_conv",), s_cat, s_proj)
+        s_h = scale("classifier", "q_h")
+        conv(("classifier", "conv"), s_proj, s_h)
+        conv(("classifier", "classifier"), s_h, None)
+    else:
+        raise ValueError(f"unknown head kind {head!r}")
     return {"params": unflatten_dict(out)}
 
 
@@ -138,15 +161,18 @@ def quantize_model(model, variables: Mapping[str, Any],
         if not getattr(part, "supports_quantize", False):
             raise ValueError(
                 f"{label} {type(part).__name__} has no int8 inference "
-                "mode (supported: DilatedResNet backbones + FCNHead)")
+                "mode (supported: DilatedResNet backbones + "
+                "FCNHead/DeepLabHead)")
     if "batch_stats" in variables:
         model, variables = fold_model(model, variables)
     elif not getattr(model.backbone, "folded", False):
         raise ValueError("quantize_model needs batch_stats or an "
                          "already-folded (model, variables) pair")
+    head = ("deeplab" if type(model.classifier).__name__ == "DeepLabHead"
+            else "fcn")
     stats = calibrate(model, variables, calib_batches)
     qvars = quantize_variables(variables, stats,
-                               tuple(model.backbone.stage_sizes))
+                               tuple(model.backbone.stage_sizes), head)
     qmodel = model.clone(
         backbone=model.backbone.clone(quantized=True),
         classifier=model.classifier.clone(quantized=True))

@@ -92,7 +92,7 @@ class NeuralBarkCalculator:
                     raise ValueError(
                         f"quantize_int8: {label} "
                         f"{type(part).__name__} has no int8 mode "
-                        "(supported: ResNet backbones + FCN head)")
+                        "(supported: ResNet backbones + FCN/DeepLab heads)")
             self._host_variables = jax.tree.map(np.asarray, variables)
         self.variables = jax.device_put(variables, self.rules.replicated)
         self.mean = np.asarray(self.config.mean, np.float32)

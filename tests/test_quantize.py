@@ -109,17 +109,61 @@ def test_quantized_full_forward_upsamples():
     assert y.shape == (2, 64, 64, 3) and y.dtype == np.float32
 
 
+def test_quantized_deeplab_tracks_f32_and_ragged_bit_exact():
+    """DeepLabHead/ASPP int8: logits track folded f32; ragged stays
+    bit-exact (the pooled branch divides by the true row count)."""
+    import jax
+    import jax.numpy as jnp
+    from neuralbarkcalculator_tpu.models.fold import fold_model
+    from neuralbarkcalculator_tpu.models.heads import DeepLabHead
+    from neuralbarkcalculator_tpu.models.quantize import quantize_model
+    from neuralbarkcalculator_tpu.models.segmentation import \
+        SegmentationModel
+
+    rng = np.random.default_rng(4)
+    model = _small_model().clone(classifier=DeepLabHead(3))
+    x = jnp.asarray(rng.normal(0, 1.2, (2, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jax.tree.map(
+            lambda v: v + np.abs(np.random.default_rng(5).normal(
+                0, 0.05, v.shape)).astype(v.dtype),
+            variables["batch_stats"]),
+    }
+    fm, fv = fold_model(model, variables)
+    ref = np.asarray(fm.apply(fv, x, train=False,
+                              method=SegmentationModel.head_logits))
+    qm, qv = quantize_model(model, variables, [x])
+    assert qm.classifier.quantized
+    ql = np.asarray(qm.apply(qv, x, train=False,
+                             method=SegmentationModel.head_logits))
+    rel = np.linalg.norm(ql - ref) / np.linalg.norm(ref)
+    assert rel < 0.08, rel
+
+    xm = np.asarray(x).copy()
+    xm[1, 48:] = 0.0
+    pad = np.asarray(qm.apply(qv, jnp.asarray(xm), train=False,
+                              valid_h=jnp.asarray([64, 48]),
+                              method=SegmentationModel.head_logits))
+    solo = np.asarray(qm.apply(qv, jnp.asarray(xm[1:, :48]), train=False,
+                               method=SegmentationModel.head_logits))
+    fh = qm.backbone.valid_feature_height(48)
+    np.testing.assert_array_equal(pad[1, :fh], solo[0])
+
+
 def test_quantize_rejections():
     import pytest as _pytest
-    from neuralbarkcalculator_tpu.models.heads import DeepLabHead
     from neuralbarkcalculator_tpu.models.quantize import quantize_model
 
     rng = np.random.default_rng(2)
     model = _small_model()
     x, variables = _init(model, rng)
 
-    # unsupported head
-    bad = model.clone(classifier=DeepLabHead(3))
+    # unsupported backbone (EfficientNet has no int8 mode)
+    from neuralbarkcalculator_tpu.models.efficientnet import \
+        EfficientNetFeatures
+    bad = model.clone(backbone=EfficientNetFeatures(variant=0))
     with _pytest.raises(ValueError, match="int8"):
         quantize_model(bad, variables, [x])
 
