@@ -61,10 +61,20 @@ class NeuralBarkCalculator:
                  model_name: str = "fcn_resnet50"):
         self.config = config or PredictConfig(model_path=model_path)
         dtype = jnp.bfloat16 if self.config.use_bfloat16 else jnp.float32
-        self.model = MODEL_FACTORIES[model_name](dtype=dtype)
         self.rules = ShardingRules(mesh if mesh is not None else make_mesh())
-        variables = _load_variables(model_path, model_name)
-        if getattr(self.config, "fold_bn", False) and getattr(
+        from ..models.quantize import is_quantized_checkpoint
+        qckpt = is_quantized_checkpoint(model_path)
+        if qckpt:
+            # offline int8 checkpoint (tools/quantize_checkpoint.py or
+            # models/quantize.save_quantized): the scales were calibrated
+            # at export time, so no folding and no first-chunk
+            # calibration — the engine starts quantized
+            from ..models.quantize import load_quantized
+            self.model, variables = load_quantized(model_path, model_name)
+        else:
+            self.model = MODEL_FACTORIES[model_name](dtype=dtype)
+            variables = _load_variables(model_path, model_name)
+        if not qckpt and getattr(self.config, "fold_bn", False) and getattr(
                 self.model.backbone, "supports_fold", False):
             # constant-fold eval-mode BN into conv kernels+biases: the
             # inference graph loses every BN elementwise pass
@@ -82,8 +92,8 @@ class NeuralBarkCalculator:
         # images, so it runs lazily on the first chunk (_run_chunks); a
         # host copy of the variables avoids pulling 132 MB of params back
         # through the device link for the conversion.
-        self._quantize_pending = bool(getattr(self.config, "quantize_int8",
-                                              False))
+        self._quantize_pending = (not qckpt) and bool(
+            getattr(self.config, "quantize_int8", False))
         self._quant_lock = threading.Lock()
         if self._quantize_pending:
             for part, label in ((self.model.backbone, "backbone"),

@@ -235,3 +235,70 @@ def test_predict_engine_int8(tmp_path):
     agree = sum(int((qmaps[k][1] == fmaps[k][1]).sum())
                 for k in fmaps) / n
     assert agree > 0.5, agree  # near-tie random logits; see docstring
+
+    # offline int8 checkpoint roundtrip: exporting the calibrated engine's
+    # variables and reloading through the engine must reproduce the lazy
+    # path's maps bit-for-bit (same quantized params, same programs)
+    import jax as _jax
+    from neuralbarkcalculator_tpu.models.quantize import (
+        is_quantized_checkpoint, save_quantized)
+    qpath = str(tmp_path / "m.int8.msgpack")
+    save_quantized(qpath, _jax.tree.map(np.asarray, calc.variables))
+    assert is_quantized_checkpoint(qpath)
+    assert not is_quantized_checkpoint(ckpt)
+    config = PredictConfig(model_path=qpath, batch_size=2,
+                           use_bfloat16=False, height_bucket=32)
+    calc2 = NeuralBarkCalculator(qpath, mesh=make_mesh(n_data=2),
+                                 config=config)
+    assert calc2.model.backbone.quantized and calc2.model.classifier.quantized
+    assert not calc2._quantize_pending  # no first-chunk calibration
+    maps2 = {it.fname: m for it, m in calc2.predict_images(items)}
+    for k, (_, m) in qmaps.items():
+        np.testing.assert_array_equal(maps2[k], m)
+
+
+def test_quantize_checkpoint_tool(tmp_path):
+    """tools/quantize_checkpoint.py: calibrate on a folder of PNGs, write
+    an offline int8 checkpoint, load it back."""
+    import os
+    import sys
+    from pathlib import Path
+
+    import flax.serialization
+    import jax
+    from PIL import Image
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import quantize_checkpoint
+
+    from neuralbarkcalculator_tpu.models.quantize import load_quantized
+    from neuralbarkcalculator_tpu.models.segmentation import fcn_resnet50
+
+    rng = np.random.default_rng(11)
+    model = fcn_resnet50()
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 3), np.float32),
+                           train=False)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jax.tree.map(
+            lambda v: v + np.abs(rng.normal(0, 0.05, v.shape)).astype(
+                v.dtype), variables["batch_stats"]),
+    }
+    ckpt = str(tmp_path / "m.msgpack")
+    with open(ckpt, "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+    imgdir = tmp_path / "imgs" / "sapin"
+    imgdir.mkdir(parents=True)
+    for i in range(3):
+        Image.fromarray((rng.random((48, 64, 3)) * 255).astype(
+            np.uint8)).save(imgdir / f"c{i}.png")
+
+    out = quantize_checkpoint.main([str(tmp_path / "imgs"),
+                                    "--model_path", ckpt, "--n", "2"])
+    assert out.endswith(".int8.msgpack") and os.path.exists(out)
+    qm, qv = load_quantized(out, "fcn_resnet50")
+    assert qm.backbone.quantized
+    y = np.asarray(qm.apply(qv, np.zeros((1, 64, 64, 3), np.float32),
+                            train=False))
+    assert y.shape == (1, 64, 64, 3)
