@@ -116,6 +116,14 @@ class PredictConfig:
     exclude_nodes: bool = False
     # TPU-native additions (do not change reference-visible semantics):
     batch_size: int = 8  # images per device step (reference is 1/sequential)
+    pad_batch_pow2: bool = True  # pad partial launch batches (folder tails,
+    # serving micro-batches) up the {1,2,4,...,batch_size} ladder with
+    # dummy rows so every arrival count reuses one of a handful of
+    # compiled programs — each distinct batch size is otherwise a fresh
+    # XLA compile (tens of seconds), which under mixed serving load is
+    # catastrophic (measured: 8-client serving p95 went 115 s -> sub-second
+    # once sizes 2..7 stopped compiling). Dummy rows are dropped before
+    # postprocess; results are bit-identical either way
     height_bucket: int = 128  # pad trimmed heights up to a multiple of this
     figure_dpi: int = 200  # reference hardcodes 900 (models.py:346);
     # ours is configurable because dpi=900 dominates reference wall-time.

@@ -281,7 +281,8 @@ class NeuralBarkCalculator:
 
         def pump_one(pad_h, idxs):
             if (getattr(self.config, "pipelined_uploads", True)
-                    and self.rules.data_size == 1 and len(idxs) >= 4):
+                    and self.rules.data_size == 1 and len(idxs) >= 4
+                    and self._padded_batch(len(idxs)) == len(idxs)):
                 # pipelined upload: decode a small first group and start
                 # its transfer while the rest of the chunk decodes — a
                 # whole-chunk decode leaves the link idle for the full
@@ -357,6 +358,9 @@ class NeuralBarkCalculator:
 
     def _finish_batch_raw(self, exclude_nodes, chunk_idxs, items, valid_h,
                           out):
+        if out.shape[0] > len(items):  # drop dummy-padded rows (pow2
+            out = out[:len(items)]     # ladder / data-axis rounding)
+            valid_h = valid_h[:len(items)]
         pad_h = out.shape[1]
         w = items[0].image.shape[1]
         packed = out.shape[2] != w  # 2-bit packed device pull
@@ -397,6 +401,22 @@ class NeuralBarkCalculator:
                 buf[i, h:] = 0
         return buf
 
+    def _padded_batch(self, n: int) -> int:
+        """Final launch-batch size for ``n`` items: rounded up the
+        {1,2,4,...,batch_size} ladder (PredictConfig.pad_batch_pow2) and
+        then to a multiple of the data-axis size so the batch dim shards
+        evenly. The ladder bounds the set of compiled (pad_h, batch)
+        programs: folder tails and serving micro-batches of any size hit
+        at most log2(batch_size)+1 shapes instead of one compile per
+        distinct arrival count."""
+        bs = self.config.batch_size
+        if getattr(self.config, "pad_batch_pow2", True) and 0 < n < bs:
+            p = 1
+            while p < n:
+                p *= 2
+            n = min(p, bs)
+        return pad_to_multiple(n, self.rules.data_size)
+
     def _launch_batch(self, items: list[ProcessedImage], pad_h: int,
                       dev_batch=None):
         """Pad a bucket chunk to static shapes and dispatch the device
@@ -406,9 +426,8 @@ class NeuralBarkCalculator:
         upload path in _run_chunks) — must cover exactly len(items) rows,
         so it is only passed when no dummy padding is needed."""
         n = len(items)
-        # round the batch up to a multiple of the data-axis size so the
-        # batch dim shards evenly; surplus rows are dummies dropped below.
-        n_pad = pad_to_multiple(n, self.rules.data_size)
+        # surplus rows are dummies dropped before postprocess
+        n_pad = self._padded_batch(n)
         w = items[0].image.shape[1]
         valid_h = np.full((n_pad,), pad_h, np.int32)
         pack = w % 4 == 0  # 2-bit packed pull (see _pack2bit)

