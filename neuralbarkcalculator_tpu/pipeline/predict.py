@@ -417,6 +417,20 @@ class NeuralBarkCalculator:
             n = min(p, bs)
         return pad_to_multiple(n, self.rules.data_size)
 
+    def launch_item_counts(self) -> list[int]:
+        """One representative item count per distinct launch-batch shape:
+        feeding the engine each of these (at one width/height bucket)
+        compiles every batch shape a micro-batch of 1..batch_size items
+        can hit. Single source of truth for serving warmup
+        (BatchingPredictor.warmup) — derived from _padded_batch by
+        construction, not by copy. Representative counts (not the launch
+        sizes themselves) because _padded_batch need not be idempotent
+        when the data-axis size is not a power of two."""
+        reps: dict[int, int] = {}
+        for n in range(1, self.config.batch_size + 1):
+            reps.setdefault(self._padded_batch(n), n)
+        return sorted(reps.values())
+
     def _launch_batch(self, items: list[ProcessedImage], pad_h: int,
                       dev_batch=None):
         """Pad a bucket chunk to static shapes and dispatch the device

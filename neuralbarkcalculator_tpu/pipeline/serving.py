@@ -134,12 +134,11 @@ class BatchingPredictor:
         from .preprocess import ProcessedImage
         img = np.random.default_rng(0).integers(
             0, 256, (height, width, 3), np.uint8)
-        sizes = {self.batch_size}
-        if getattr(self.calc.config, "pad_batch_pow2", True):
-            p = 1
-            while p < self.batch_size:
-                sizes.add(p)
-                p *= 2
+        # one representative item count per launch shape, from the engine
+        # itself (single source of truth for the ladder); micro-batches
+        # never exceed self.batch_size, so drop counts beyond it
+        sizes = [n for n in self.calc.launch_item_counts()
+                 if n <= self.batch_size] or [self.batch_size]
         for b in sorted(sizes, reverse=True):  # largest first: the lazy
             # int8 calibration runs on the first chunk, and more rows
             # give it a better max-abs estimate

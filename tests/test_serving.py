@@ -88,6 +88,8 @@ def test_pow2_ladder_bounds_compiled_batch_shapes(calc):
 
     # calc fixture: batch_size=4 over a 2-device data axis
     assert [calc._padded_batch(n) for n in (1, 2, 3, 4)] == [2, 2, 4, 4]
+    # warmup's source of truth: one representative count per launch shape
+    assert calc.launch_item_counts() == [1, 3]
 
     items = [ProcessedImage(_img(128, 64, seed=10 + i), f"p{i}", "t")
              for i in range(3)]

@@ -127,6 +127,9 @@ def main() -> None:
     ap.add_argument("--conc_m", type=int, default=5)
     ap.add_argument("--int8", action="store_true",
                     help="also run the int8 engine")
+    ap.add_argument("--only", choices=["bf16", "int8"],
+                    help="run a single engine (isolates phase-order / "
+                         "process-age effects when comparing runs)")
     args = ap.parse_args()
 
     import jax
@@ -134,7 +137,11 @@ def main() -> None:
     print(f"backend={jax.default_backend()}", file=sys.stderr)
     np.asarray(jnp.ones((8, 128)))  # tunnel first-pull warmup
 
-    for int8 in ([False, True] if args.int8 else [False]):
+    if args.only:
+        engines = [args.only == "int8"]
+    else:
+        engines = [False, True] if args.int8 else [False]
+    for int8 in engines:
         for row in run_config(int8, args.model_path, args.seq_n,
                               args.conc, args.conc_m):
             print(json.dumps(row), flush=True)
