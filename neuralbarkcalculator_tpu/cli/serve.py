@@ -86,6 +86,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--timeout_s", type=float, default=180.0,
                         help="per-request result timeout (first request "
                              "on a cold shape pays the XLA compile)")
+    parser.add_argument("--fixed_height", type=int, default=1024,
+                        help="pin every launch to this pad height (0 to "
+                             "disable): dark-band trim gives each request "
+                             "a content-dependent height, and an unwarmed "
+                             "height bucket is a 20-40 s XLA compile "
+                             "stalling the queue; padding to one height "
+                             "is bit-exact (ragged row masks). Ignored by "
+                             "exact-height backbones (EfficientNet), "
+                             "which compile per distinct trimmed height")
     return parser
 
 
@@ -259,6 +268,8 @@ def make_server(args: argparse.Namespace) -> ThreadingHTTPServer:
         config.use_bfloat16 = False
     if args.int8:
         config.quantize_int8 = True
+    if args.fixed_height:
+        config.fixed_pad_height = args.fixed_height
     calc = NeuralBarkCalculator(args.model_path, config=config,
                                 model_name=args.model)
     predictor = BatchingPredictor(calc, batch_size=config.batch_size,

@@ -125,6 +125,14 @@ class PredictConfig:
     # once sizes 2..7 stopped compiling). Dummy rows are dropped before
     # postprocess; results are bit-identical either way
     height_bucket: int = 128  # pad trimmed heights up to a multiple of this
+    fixed_pad_height: int | None = None  # pin EVERY ragged launch to this
+    # pad height (must be a multiple of height_bucket). Serving sets 1024:
+    # dark-band trim gives each request a content-dependent height, and a
+    # height bucket nobody warmed is a 20-40 s XLA compile stalling every
+    # queued request; padding to one fixed height is bit-exact (ragged row
+    # masking, tests/test_ragged.py) at up to `bucket/fixed` extra compute.
+    # Heights above it fall back to normal bucketing. Folder jobs keep
+    # None: buckets amortize over many images and cost less compute.
     figure_dpi: int = 200  # reference hardcodes 900 (models.py:346);
     # ours is configurable because dpi=900 dominates reference wall-time.
     use_bfloat16: bool = True  # run the conv stack in bf16 on the MXU

@@ -128,6 +128,12 @@ class NeuralBarkCalculator:
     def _bucket_of(self, h: int) -> int:
         if self._exact_heights:
             return h
+        fixed = getattr(self.config, "fixed_pad_height", None)
+        if fixed and h <= fixed:
+            # serving: one pinned launch height (bit-exact via row
+            # masking) instead of a content-dependent bucket that may
+            # never have been warmed — see PredictConfig.fixed_pad_height
+            return fixed
         return pad_to_multiple(h, self.config.height_bucket)
 
     # ------------------------------------------------------------- public

@@ -103,6 +103,40 @@ def test_pow2_ladder_bounds_compiled_batch_shapes(calc):
     assert launched <= {2, 4}
 
 
+def test_fixed_pad_height_pins_launch_bucket(calc):
+    """PredictConfig.fixed_pad_height (serving default 1024, scaled down
+    here): every launch at or below it must use ONE pad height — a
+    content-dependent trim height must never select an unwarmed bucket
+    (a 20-40 s XLA compile mid-traffic) — while results stay bit-equal
+    to the bucketed engine (ragged row-mask exactness)."""
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.parallel.mesh import make_mesh
+    from neuralbarkcalculator_tpu.pipeline.predict import (
+        NeuralBarkCalculator)
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+
+    cfg = PredictConfig(model_path=calc.config.model_path, batch_size=4,
+                        use_bfloat16=False, height_bucket=64,
+                        fixed_pad_height=128)
+    fixed = NeuralBarkCalculator(calc.config.model_path,
+                                 mesh=make_mesh(n_data=2), config=cfg)
+    # 60 would bucket to 64 (height_bucket=64); pinned it must launch 128
+    assert fixed._bucket_of(60) == 128
+    assert fixed._bucket_of(128) == 128
+    # taller than the pin: fall back to normal bucketing, never truncate
+    assert fixed._bucket_of(200) == 256
+
+    items = [ProcessedImage(_img(60, 128, seed=21), "a", "t"),
+             ProcessedImage(_img(128, 128, seed=22), "b", "t")]
+    got = {it.fname: cm for it, cm in fixed.predict_images(items)}
+    assert {ph for (ph, *_rest) in fixed._step_cache} == {128}
+    # calc (height_bucket=128, no pin) buckets 60 -> 128 too; equality
+    # here is the ragged row-mask exactness guarantee end-to-end
+    ref = {it.fname: cm for it, cm in calc.predict_images(items)}
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k])
+
+
 def test_batcher_exclude_nodes_per_request(calc):
     from neuralbarkcalculator_tpu.pipeline.serving import BatchingPredictor
 

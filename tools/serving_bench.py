@@ -118,6 +118,41 @@ def run_config(int8: bool, model_path: str, seq_n: int, conc: int,
     return out
 
 
+def run_cold_start(int8: bool, model_path: str, wipe_cache: bool) -> dict:
+    """Time server construction (model load/convert + BN fold or int8
+    load) and warmup (one XLA compile per ladder shape) — the two cold-
+    start components a deployment must budget. ``wipe_cache`` deletes the
+    persistent XLA compile cache first (true first-boot); without it the
+    numbers show what a restart with a shipped cache directory costs."""
+    import shutil
+
+    from neuralbarkcalculator_tpu.cli.serve import build_parser, make_server
+    if wipe_cache:
+        cache = os.environ.get("NEURALBARK_CACHE", os.path.join(
+            os.path.expanduser("~"), ".cache",
+            "neuralbarkcalculator_tpu", "xla"))
+        shutil.rmtree(cache, ignore_errors=True)
+    args = build_parser().parse_args(
+        [model_path, "--port", "0", "--batch_size", "8"]
+        + (["--int8"] if int8 else []))
+    t0 = time.perf_counter()
+    server = make_server(args)
+    t_build = time.perf_counter()
+    try:
+        server.state.predictor.warmup()
+        t_warm = time.perf_counter()
+    finally:
+        server.server_close()
+        server.state.predictor.close()
+    return {"phase": "cold_start",
+            "engine": "int8" if int8 else "bf16",
+            "xla_cache": "cold" if wipe_cache else "warm",
+            "model_path": os.path.basename(model_path),
+            "build_s": round(t_build - t0, 2),
+            "warmup_s": round(t_warm - t_build, 2),
+            "total_s": round(t_warm - t0, 2)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", default=os.path.expanduser(
@@ -130,6 +165,13 @@ def main() -> None:
     ap.add_argument("--only", choices=["bf16", "int8"],
                     help="run a single engine (isolates phase-order / "
                          "process-age effects when comparing runs)")
+    ap.add_argument("--cold_start", action="store_true",
+                    help="measure build+warmup time instead of request "
+                         "latency (one engine per process; combine with "
+                         "--only and --wipe_cache)")
+    ap.add_argument("--wipe_cache", action="store_true",
+                    help="with --cold_start: delete the persistent XLA "
+                         "cache first (true first-boot)")
     args = ap.parse_args()
 
     import jax
@@ -141,6 +183,13 @@ def main() -> None:
         engines = [args.only == "int8"]
     else:
         engines = [False, True] if args.int8 else [False]
+
+    if args.cold_start:
+        for int8 in engines:
+            print(json.dumps(run_cold_start(int8, args.model_path,
+                                            args.wipe_cache)), flush=True)
+        return
+
     for int8 in engines:
         for row in run_config(int8, args.model_path, args.seq_n,
                               args.conc, args.conc_m):
