@@ -180,12 +180,23 @@ class BarkHandler(BaseHTTPRequestHandler):
         except Exception as e:
             self._send_json(400, {"error": f"undecodable image: {e}"})
             return
-        processed = self.state.preprocessor.preprocess_one(img)
+        try:
+            processed = self.state.preprocessor.preprocess_one(img)
+        except Exception as e:
+            self._send_json(400, {"error": f"preprocess failed: {e}"})
+            return
         try:
             fut = self.state.predictor.submit(processed, exclude_nodes)
         except queue.Full:
             self._send_json(503, {"error": "server saturated, retry"},
                             extra={"Retry-After": "1"})
+            return
+        except RuntimeError as e:  # predictor closed (shutdown race)
+            self._send_json(503, {"error": str(e)},
+                            extra={"Retry-After": "1"})
+            return
+        except ValueError as e:
+            self._send_json(400, {"error": str(e)})
             return
         try:
             res = fut.result(timeout=self.state.timeout_s)
@@ -244,7 +255,9 @@ def _combined_png_bytes(res, dpi: int) -> bytes:
     fd, path = tempfile.mkstemp(suffix=".png")
     os.close(fd)
     try:
-        render_combined_fast(res.image, res.class_map, path, percents, dpi)
+        render_combined_fast(res.image, res.class_map, path, percents, dpi,
+                             legend_values=[v for v in range(3)
+                                            if res.counts[v] > 0])
         with open(path, "rb") as f:
             return f.read()
     finally:
@@ -298,7 +311,6 @@ def main(args: argparse.Namespace) -> None:
     except KeyboardInterrupt:
         pass
     finally:
-        server.shutdown_requested = True  # type: ignore[attr-defined]
         server.server_close()
         state.predictor.close()
 

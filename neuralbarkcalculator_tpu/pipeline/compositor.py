@@ -33,10 +33,27 @@ from PIL import Image, ImageDraw, ImageFont
 
 from ..config import CLASS_NAMES
 
-# viridis at norm(0), norm(1), norm(2) with vmax=2 — the exact colors
+# viridis at norm(0), norm(1), norm(2) with vmin=0/vmax=2 — the colors
 # matplotlib's imshow gives the three classes (and the legend patches).
 VIRIDIS3 = np.array([[68, 1, 84], [33, 145, 140], [253, 231, 37]],
                     np.uint8)
+
+
+def _lut3(vmin: int) -> np.ndarray:
+    """Class-value -> color LUT under ``imshow(vmax=2)``.
+
+    The reference never pins vmin (models.py:300), so matplotlib
+    autoscales it to the panel's data min and the three classes only get
+    the canonical VIRIDIS3 colors when class 0 is present. With
+    vmin=1 the norm stretches [1, 2] onto the full colormap (class 1 ->
+    viridis(0), class 2 -> viridis(1)); with vmin == vmax == 2 matplotlib's
+    Normalize collapses everything to 0. The legend patches are built
+    from the same norm (models.py:305-307), so they shift identically."""
+    if vmin <= 0:
+        return VIRIDIS3
+    if vmin == 1:
+        return VIRIDIS3[[0, 0, 2]]
+    return VIRIDIS3[[0, 0, 0]]
 
 # Figure-fraction layout, measured from the rendered matplotlib figures
 # (100 dpi, 640x480 canvas; fractions are dpi-independent). y is from the
@@ -107,10 +124,14 @@ def _panel_photo(img: np.ndarray, tw: int, th: int) -> Image.Image:
 def _panel_classmap(cmap: np.ndarray, tw: int, th: int) -> Image.Image:
     """NEAREST-downsample the categorical map, then color via the LUT
     (keeps classes crisp; matplotlib interpolates the scalar field, which
-    only differs along zone boundaries)."""
+    only differs along zone boundaries). The norm's vmin comes from the
+    *full-resolution* map (matplotlib autoscales on the data it is given,
+    not on the rendered raster), so a rare class surviving only a few
+    pixels still anchors the palette."""
+    lut = _lut3(int(cmap.min()) if cmap.size else 0)
     small = np.asarray(
         Image.fromarray(cmap).resize((tw, th), Image.NEAREST))
-    return Image.fromarray(VIRIDIS3[np.minimum(small, 2)])
+    return Image.fromarray(lut[np.minimum(small, 2)])
 
 
 @functools.lru_cache(maxsize=16)
@@ -229,6 +250,9 @@ def _legend_patch(values: tuple[int, ...], dpi: int) -> Image.Image:
     handle_gap = round(0.8 * em)
     spacing = round(0.5 * em)
     title = "Classes"
+    # patch colors use the generated panel's autoscaled norm: its data
+    # min is exactly the smallest present class (models.py:305-307)
+    lut = _lut3(min(values) if values else 0)
 
     probe = ImageDraw.Draw(Image.new("RGBA", (1, 1)))
     tb = probe.textbbox((0, 0), title, font=font)
@@ -251,7 +275,7 @@ def _legend_patch(values: tuple[int, ...], dpi: int) -> Image.Image:
     for v, label in zip(values, labels):
         hy = y + round(0.12 * em)
         draw.rectangle((pad, hy, pad + handle_w, hy + round(0.75 * em)),
-                       fill=tuple(int(c) for c in VIRIDIS3[v]))
+                       fill=tuple(int(c) for c in lut[v]))
         draw.text((pad + handle_w + handle_gap, y), label,
                   font=font, fill="black")
         y += entry_h + spacing

@@ -209,20 +209,29 @@ class NeuralBarkCalculator:
 
     def predict_images(self, images: Sequence[ProcessedImage],
                        exclude_nodes: bool = False,
-                       prefetch: int = 2):
+                       prefetch: int | None = None,
+                       with_counts: bool = False):
         """Yield (ProcessedImage, class_map[h, w] uint8) for each image, in
         batched bucket order. Library API under the CLI surface.
 
         Batches are double-buffered: JAX's async dispatch lets the next
         batch's host->device transfer and forward overlap the current
-        batch's host-side postprocess/yielding (``prefetch`` in-flight).
+        batch's host-side postprocess/yielding (``prefetch`` in-flight;
+        ``None`` uses ``PredictConfig.prefetch``, same as the folder path).
+
+        ``with_counts=True`` yields (item, class_map, counts3) instead,
+        where counts3 is the int64 [3] per-class pixel count over the
+        valid rows that the fused native postprocess already produced
+        (None when the native lib is unavailable) — callers needing
+        percentages (serving, reporting) should take it rather than
+        re-sweeping the map with np.bincount.
         """
         chunks = self._plan_chunks(
             [(i, *im.image.shape[:2]) for i, im in enumerate(images)])
-        for _, item, cmap, _counts in self._run_chunks(
+        for _, item, cmap, counts in self._run_chunks(
                 chunks, lambda idxs: [images[i] for i in idxs],
                 exclude_nodes, prefetch=prefetch):
-            yield item, cmap
+            yield (item, cmap, counts) if with_counts else (item, cmap)
 
     # --------------------------------------------------- unified engine
 
@@ -283,6 +292,30 @@ class NeuralBarkCalculator:
             prefetch = getattr(self.config, "prefetch", 2)
         prefetch = max(1, prefetch)
         if self._quantize_pending and chunks:
+            # lazy int8 calibration decodes a prefix of chunk 0 before the
+            # pump starts; memoize those decodes so the pump's own pass
+            # over chunk 0 reuses them instead of re-reading the files
+            # (~25 ms/image of PNG decode on a 1-core host)
+            memo_set = frozenset(chunks[0][1])
+            memo: dict[int, ProcessedImage] = {}
+            memo_lock = threading.Lock()
+            base_decode = decode_chunk
+
+            def decode_chunk(idxs, _base=base_decode):
+                idxs = list(idxs)
+                with memo_lock:
+                    if memo and all(i not in memo_set for i in idxs):
+                        memo.clear()  # past chunk 0: free the cache
+                    have = {i: memo[i] for i in idxs if i in memo}
+                missing = [i for i in idxs if i not in have]
+                if missing:
+                    for i, it in zip(missing, _base(missing)):
+                        have[i] = it
+                        if i in memo_set:
+                            with memo_lock:
+                                memo[i] = it
+                return [have[i] for i in idxs]
+
             self._calibrate_quantize(chunks, decode_chunk)
 
         def pump_one(pad_h, idxs):

@@ -80,6 +80,11 @@ class BatchingPredictor:
         self.mm_per_pix = (calc.config.mm_per_pix if mm_per_pix is None
                            else mm_per_pix)
         self._queue: queue.Queue = queue.Queue(maxsize=queue_limit)
+        # serializes submit's closed-check+put against close's
+        # closed-set+sentinel-put: every accepted request is enqueued
+        # strictly before the sentinel (queue FIFO), so the worker's
+        # post-sentinel drain can never leave an orphaned future behind
+        self._open_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.stats = {
             "requests": 0, "served": 0, "errors": 0, "batches": 0,
@@ -102,16 +107,23 @@ class BatchingPredictor:
         the HTTP layer turns that into 503 backpressure rather than
         letting memory grow unboundedly.
         """
-        if self._closed:
-            raise RuntimeError("predictor is closed")
         if image_u8.dtype != np.uint8 or image_u8.ndim != 3 \
                 or image_u8.shape[2] != 3:
             raise ValueError(
                 f"expected uint8 [h, w, 3] image, got {image_u8.dtype} "
                 f"{image_u8.shape}")
         fut: Future = Future()
-        self._queue.put_nowait((image_u8, bool(exclude_nodes), fut,
-                                time.perf_counter()))
+        with self._open_lock:
+            if self._closed:
+                raise RuntimeError("predictor is closed")
+            try:
+                self._queue.put_nowait((image_u8, bool(exclude_nodes), fut,
+                                        time.perf_counter()))
+            except queue.Full:
+                with self._stats_lock:
+                    self.stats["requests"] += 1
+                    self.stats["rejected"] += 1
+                raise
         with self._stats_lock:
             self.stats["requests"] += 1
         return fut
@@ -157,10 +169,16 @@ class BatchingPredictor:
             self._latencies.clear()
 
     def close(self, timeout: float | None = 30.0) -> None:
-        """Stop the worker after draining already-queued requests."""
-        if self._closed:
-            return
-        self._closed = True
+        """Stop the worker after draining already-queued requests.
+
+        Under ``_open_lock`` every accepted request precedes the sentinel
+        in the FIFO queue, so the worker serves them all before exiting —
+        a submit racing close either lands before the sentinel (served)
+        or observes ``_closed`` and raises."""
+        with self._open_lock:
+            if self._closed:
+                return
+            self._closed = True
         self._queue.put(None)  # sentinel
         self._worker.join(timeout=timeout)
 
@@ -226,9 +244,10 @@ class BatchingPredictor:
             # exclude_nodes=False at the batch level; per-request remap
             # below (equivalent: reference remaps after remove_small_zones,
             # models.py:270-276)
-            results: dict[str, np.ndarray] = {
-                item.fname: cmap
-                for item, cmap in self.calc.predict_images(images)}
+            results: dict[str, tuple] = {
+                item.fname: (cmap, counts)
+                for item, cmap, counts in self.calc.predict_images(
+                    images, with_counts=True)}
         except Exception as e:  # resolve every future, keep serving
             with self._stats_lock:
                 self.stats["errors"] += len(batch)
@@ -244,10 +263,15 @@ class BatchingPredictor:
             self.stats["max_batch"] = max(self.stats["max_batch"],
                                           len(batch))
         for i, (img, exclude_nodes, fut, t_submit) in enumerate(batch):
-            cmap = results[f"req{i}"]
+            cmap, counts = results[f"req{i}"]
+            if counts is None:  # no native lib: one host sweep
+                counts = np.bincount(cmap.ravel(), minlength=3)
+            counts = np.asarray(counts, np.int64)
             if exclude_nodes:
                 cmap = np.where(cmap == 2, 1, cmap).astype(np.uint8)
-            counts = np.bincount(cmap.ravel(), minlength=3)
+                # remap folds node pixels into bark; no re-sweep needed
+                counts = np.array(
+                    [counts[0], counts[1] + counts[2], 0], np.int64)
             total = float(cmap.size)
             res = ServeResult(
                 class_map=cmap, image=img, counts=counts,

@@ -106,3 +106,35 @@ def test_reporter_renderer_switch(sample, tmp_path):
             os.path.join(rdir, "outputs", "sapin", "x.png"))
     with pytest.raises(ValueError):
         PredictReporter(str(tmp_path), renderer="nope")
+
+
+def test_lut3_matches_matplotlib_autoscaled_norm():
+    """The reference never pins vmin (imshow(img, vmax=2), models.py:300),
+    so matplotlib autoscales it to the map's min; the fast LUT must
+    reproduce viridis(Normalize(vmin, 2)(v)) for every present-class set."""
+    from matplotlib import colormaps
+    from matplotlib.colors import Normalize
+
+    from neuralbarkcalculator_tpu.pipeline.compositor import _lut3
+
+    viridis = colormaps["viridis"]
+    for vmin in (0, 1, 2):
+        lut = _lut3(vmin)
+        for v in range(vmin, 3):
+            expect = np.array(viridis(Normalize(vmin, 2)(v))[:3]) * 255
+            got = lut[v].astype(np.float64)
+            assert np.abs(got - np.round(expect)).max() <= 1, (vmin, v)
+
+
+def test_no_background_map_uses_renormalized_colors(sample, tmp_path):
+    """A class map with no background pixels autoscales to vmin=1: class 1
+    renders as viridis(0) dark purple (not teal) and class 2 as yellow —
+    matching what matplotlib draws for the same map."""
+    img, cmap, pct = sample
+    cmap = np.maximum(cmap, 1).astype(np.uint8)  # classes {1, 2} only
+    out = str(tmp_path / "fig.png")
+    render_combined_fast(img, cmap, out, pct, dpi=100)
+    arr = np.asarray(Image.open(out).convert("RGB")).reshape(-1, 3)
+    assert (np.all(arr == VIRIDIS3[1], axis=1)).sum() == 0  # no teal
+    assert (np.all(arr == VIRIDIS3[0], axis=1)).sum() > 50  # purple class 1
+    assert (np.all(arr == VIRIDIS3[2], axis=1)).sum() > 50  # yellow class 2

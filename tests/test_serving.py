@@ -214,6 +214,80 @@ def test_warmup_resets_stats(calc):
         pred.close()
 
 
+class _GatedCalc:
+    """Minimal calc stub whose predict blocks on an event — lets tests
+    hold the batcher worker mid-batch deterministically."""
+
+    def __init__(self, gate):
+        import types
+        self.gate = gate
+        self.config = types.SimpleNamespace(batch_size=1, mm_per_pix=12.96)
+
+    def launch_item_counts(self):
+        return [1]
+
+    def predict_images(self, items, exclude_nodes=False, prefetch=None,
+                       with_counts=False):
+        self.gate.wait(timeout=30)
+        for it in items:
+            cmap = np.zeros(it.image.shape[:2], np.uint8)
+            counts = np.array([cmap.size, 0, 0], np.int64)
+            yield (it, cmap, counts) if with_counts else (it, cmap)
+
+
+def test_backpressure_counts_rejected_requests():
+    """queue.Full must show up in /v1/stats: requests and rejected both
+    tick, so overload is visible in the telemetry built to expose it."""
+    import threading
+    import queue as _q
+    import time as _t
+    from neuralbarkcalculator_tpu.pipeline.serving import BatchingPredictor
+
+    gate = threading.Event()
+    pred = BatchingPredictor(_GatedCalc(gate), batch_size=1,
+                             max_wait_ms=5.0, queue_limit=1)
+    try:
+        f1 = pred.submit(_img(8, 8))
+        deadline = _t.time() + 5
+        while pred._queue.qsize() and _t.time() < deadline:
+            _t.sleep(0.005)  # worker takes r1, blocks on the gate
+        f2 = pred.submit(_img(8, 8))  # fills the bounded queue
+        with pytest.raises(_q.Full):
+            pred.submit(_img(8, 8))
+        stats = pred.snapshot_stats()
+        assert stats["requests"] == 3 and stats["rejected"] == 1
+        gate.set()
+        assert f1.result(timeout=10).class_map.shape == (8, 8)
+        assert f2.result(timeout=10).class_map.shape == (8, 8)
+        assert pred.snapshot_stats()["served"] == 2
+    finally:
+        gate.set()
+        pred.close()
+
+
+def test_close_serves_requests_queued_before_sentinel():
+    """A request accepted before close() must resolve, not orphan: the
+    FIFO protocol (submit put and close sentinel serialized by one lock)
+    guarantees accepted items precede the sentinel."""
+    import threading
+    from neuralbarkcalculator_tpu.pipeline.serving import BatchingPredictor
+
+    gate = threading.Event()
+    pred = BatchingPredictor(_GatedCalc(gate), batch_size=1,
+                             max_wait_ms=5.0, queue_limit=8)
+    f1 = pred.submit(_img(8, 8))
+    f2 = pred.submit(_img(8, 8))  # queued behind the in-flight batch
+    closer = threading.Thread(target=pred.close)
+    closer.start()
+    gate.set()
+    closer.join(timeout=15)
+    assert not closer.is_alive()
+    assert f1.result(timeout=1).class_map.shape == (8, 8)
+    assert f2.result(timeout=1).class_map.shape == (8, 8)
+    with pytest.raises(RuntimeError):
+        pred.submit(_img(8, 8))
+
+
 # --------------------------------------------------------------- HTTP
 
 
