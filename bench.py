@@ -190,9 +190,14 @@ def main() -> None:
         record_mask_stats(root, generated_masks)
     except Exception as e:  # stats are evidence, not the metric
         print(f"bench_mask_stats skipped: {e}", file=sys.stderr)
-    # timed passes: best-of-N (steady-state throughput)
-    elapsed = min(_timed_pass(calc, root) for _ in range(TIMED_PASSES))
+    # timed passes: best-of-N is the metric (steady-state per-chip
+    # throughput on a +-20% run-to-run tunnel), but the median and the
+    # per-pass samples ship alongside so BENCH_r* records the spread,
+    # not just a best-case sample (VERDICT r3 item 6)
+    times = sorted(_timed_pass(calc, root) for _ in range(TIMED_PASSES))
+    elapsed = times[0]
     ips = N_IMAGES / elapsed
+    median_ips = N_IMAGES / times[len(times) // 2]
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "reference_baseline.json")
@@ -208,6 +213,8 @@ def main() -> None:
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "median": round(median_ips, 3),
+        "passes": [round(N_IMAGES / t, 3) for t in times],
     }))
 
 

@@ -86,11 +86,19 @@ def main() -> None:
     backbone = model.backbone
     # Standalone modules mirroring FCNHead's trunk half (heads.py:44-51)
     # and its tail conv (heads.py:55-56); applied with slices of the same
-    # params tree, so weights are shared with the fused model.
-    conv1 = nn.Conv(512, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)
+    # params tree, so weights are shared with the fused model. Widths are
+    # derived from the initialized params (not hand-copied constants), so
+    # a future FCNHead/NUM_CLASSES change either flows through or fails
+    # the shape check at apply time; the default-on grad check below
+    # additionally validates the whole decomposition numerically.
+    _hp = variables["params"]["classifier"]
+    inter = _hp["conv1"]["kernel"].shape[-1]
+    n_classes = _hp["conv2"]["kernel"].shape[-1]
+    conv1 = nn.Conv(inter, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False)
     bn1 = nn.BatchNorm(use_running_average=False, momentum=0.9,
                        epsilon=1e-5, dtype=jnp.float32)
-    conv2 = nn.Conv(3, (1, 1))
+    conv2 = nn.Conv(n_classes, (1, 1))
 
     def trunk_apply(params, stats, x):
         feat, mut = backbone.apply(
@@ -263,7 +271,11 @@ def main() -> None:
         results["grad_check_max_abs_err"] = max_err
         print(f"grad check (dropout 0, trivial loss): max abs err "
               f"{max_err:.3e}", file=sys.stderr)
-        assert max_err < 1e-4, max_err
+        if max_err >= 1e-4:  # not a bare assert: python -O must not turn
+            # the numerics gate into a no-op while the JSON still ships
+            raise SystemExit(
+                f"split-vs-fused gradients diverge (max abs err "
+                f"{max_err:.3e} >= 1e-4): the decomposition is invalid")
 
     results["shapes"] = (f"crop {crop}, batch {batch}, fcn_resnet50 "
                          f"dropout 0.8, f32, Adam included in all chains")

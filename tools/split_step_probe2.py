@@ -111,6 +111,11 @@ def main() -> None:
                       getattr(compiled, "input_layouts", None))
     if isinstance(in_fmts, tuple) and len(in_fmts) == 2:
         in_fmts = in_fmts[0]  # (args, kwargs)
+    if in_fmts is None:
+        raise SystemExit(
+            "this JAX exposes neither Compiled.input_formats nor "
+            ".input_layouts: cannot device_put into the AUTO layouts, so "
+            "p3_auto_ms would silently measure default layouts — aborting")
     t0 = time.perf_counter()
     args_l = jax.block_until_ready(
         jax.device_put((params, stats, imgs, dt1), in_fmts))
@@ -119,8 +124,10 @@ def main() -> None:
 
     flat_fmts = jax.tree_util.tree_leaves(in_fmts)
     results["n_inputs"] = len(flat_fmts)
-    results["dt1_format"] = repr(jax.tree_util.tree_leaves(
-        in_fmts[3] if isinstance(in_fmts, tuple) else in_fmts)[-1])
+    # dt1 is the last positional arg and a single array, so its format is
+    # the last leaf in flatten order whatever the container structure is
+    # (per-arg tuple or flat leaf tuple — both flatten dt1 last)
+    results["dt1_format"] = repr(flat_fmts[-1])
     print(f"n_inputs: {len(flat_fmts)}", file=sys.stderr)
 
     timed(compiled, args_l, "p3_auto_ms")
@@ -133,6 +140,11 @@ def main() -> None:
         jax.tree_util.tree_leaves(g_auto)))
     results["grad_check_max_abs_err"] = err
     print(f"auto-vs-default grad err: {err:.3e}", file=sys.stderr)
+    if err >= 1e-4:  # mirror probe 1's gate: a layout-induced numeric
+        # divergence must fail the run, not be silently recorded
+        raise SystemExit(
+            f"AUTO-layout gradients diverge from default layouts "
+            f"(max abs err {err:.3e} >= 1e-4)")
 
     results["shapes"] = (f"crop {crop}, batch {batch}, fcn_resnet50 trunk "
                          f"(backbone+conv1+bn1+relu) fwd+vjp, f32")
