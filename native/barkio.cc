@@ -17,6 +17,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cmath>
 #include <pthread.h>
 #include <zlib.h>
 
@@ -630,6 +631,463 @@ int remove_small_zones_batch(const uint8_t* imgs, int32_t batch, int32_t h,
                              int32_t threads) {
   return remove_small_zones_batch2(imgs, 0, batch, h, w, valid_h,
                                    min_size, 0, outs, nullptr, threads);
+}
+
+}  // extern "C"
+
+// ----------------------------- native preprocess (resize + trim) --------
+// The reference preprocessor (models.py:191-203) resizes 4096^2 captures
+// to 1024^2 with skimage's prefiltered cubic B-spline and trims dark
+// bands. The Python host backend reproduces that with scipy
+// (ops/resize.py:spline_resize_host) — exact, but single-threaded scipy
+// IIR + numpy tap sweeps. This is the same math as one fused native
+// pass: per-line double-precision IIR prefilter (pole z = sqrt(3)-2,
+// exact mirror-boundary initialization — Unser's formulas, matching
+// scipy.ndimage.spline_filter1d mode='mirror'), float32 4-tap B-spline
+// evaluation in numpy's accumulation order, clip to the input range
+// (skimage clip=True), dark-band trim bounds, and uint8 quantization
+// (rint(clip(x,0,1)*255)) — threaded over rows/columns with the same
+// pthread pool pattern as the batch decoder.
+
+namespace {
+
+constexpr double kPole = -0.26794919243112270647;  // sqrt(3) - 2
+constexpr double kGain = 6.0;  // (1 - z) * (1 - 1/z) for the cubic pole
+// scipy truncates the causal mirror init to ceil(log(eps)/log|z|) terms
+// when the line is longer than that (= 28 for the cubic pole at double
+// eps); below it, the exact closed form. Same branch here.
+constexpr int64_t kInitHorizon = 28;
+
+// generic static-partition parallel_for over [0, n)
+typedef struct {
+  void (*fn)(void* ctx, int64_t begin, int64_t end);
+  void* ctx;
+  int64_t n;
+  int32_t threads;
+  int32_t next_chunk;
+  int64_t chunk;
+  pthread_mutex_t lock;
+} pfor_job;
+
+void* pfor_worker(void* arg) {
+  pfor_job* job = (pfor_job*)arg;
+  for (;;) {
+    pthread_mutex_lock(&job->lock);
+    int64_t begin = (int64_t)job->next_chunk * job->chunk;
+    job->next_chunk++;
+    pthread_mutex_unlock(&job->lock);
+    if (begin >= job->n) return nullptr;
+    int64_t end = begin + job->chunk;
+    if (end > job->n) end = job->n;
+    job->fn(job->ctx, begin, end);
+  }
+}
+
+void parallel_for(int64_t n, int32_t threads,
+                  void (*fn)(void* ctx, int64_t begin, int64_t end),
+                  void* ctx) {
+  if (threads < 1) threads = 1;
+  if (threads > 64) threads = 64;
+  if ((int64_t)threads > n) threads = (int32_t)(n > 0 ? n : 1);
+  if (threads == 1) { fn(ctx, 0, n); return; }
+  // ~4 chunks per thread: cheap dynamic balance without contention
+  int64_t chunk = n / (4 * threads);
+  if (chunk < 1) chunk = 1;
+  pfor_job job = {fn, ctx, n, threads, 0, chunk,
+                  PTHREAD_MUTEX_INITIALIZER};
+  pthread_t tids[64];
+  for (int t = 0; t < threads; ++t)
+    pthread_create(&tids[t], nullptr, pfor_worker, &job);
+  for (int t = 0; t < threads; ++t) pthread_join(tids[t], nullptr);
+}
+
+// IIR prefilter along axis 0 (rows direction) for a block of columns
+// [c_begin, c_end) of an [h, w3] f32 image (w3 = w * channels).
+// Vectorized row-wise over sub-blocks of <= 256 columns whose causal
+// coefficients live in a [h, 256] double scratch, so the arithmetic is
+// scipy's whole-line-in-double (bit-exact) while memory access stays
+// sequential and the scratch stays cache-sized (8 MB at h = 4096).
+typedef struct {
+  float* img;
+  int64_t h, w3;
+} filt0_ctx;
+
+void filter_axis0_subblock(float* img, int64_t h, int64_t w3,
+                           int64_t c_begin, int64_t nb, double* dbuf) {
+  double acc[256];
+  if (kInitHorizon < h) {
+    // truncated causal mirror init: c0 = sum_{j<horizon} z^j (g x[j])
+    // (the reflected tail is below double eps at this horizon)
+    for (int64_t c = 0; c < nb; ++c) acc[c] = 0.0;
+    double zj = 1.0;
+    for (int64_t j = 0; j < kInitHorizon; ++j) {
+      const double wgt = kGain * zj;
+      const float* row = img + j * w3 + c_begin;
+      for (int64_t c = 0; c < nb; ++c) acc[c] += wgt * row[c];
+      zj *= kPole;
+    }
+  } else {
+    // exact closed form: c0 = (g x0 + z^{n-1} g x_{n-1} +
+    //   sum_{j=1}^{n-2} (z^j + z^{2n-2-j}) g x_j) / (1 - z^{2n-2})
+    const double zn1 = pow(kPole, (double)(h - 1));
+    const double denom = 1.0 - zn1 * zn1;
+    const float* r0 = img + c_begin;
+    const float* rl = img + (h - 1) * w3 + c_begin;
+    for (int64_t c = 0; c < nb; ++c)
+      acc[c] = kGain * (r0[c] + zn1 * rl[c]);
+    double zj = kPole, z2nj = zn1 * zn1 / kPole;
+    for (int64_t j = 1; j < h - 1; ++j) {
+      const double wgt = kGain * (zj + z2nj);
+      const float* row = img + j * w3 + c_begin;
+      for (int64_t c = 0; c < nb; ++c) acc[c] += wgt * row[c];
+      zj *= kPole;
+      z2nj /= kPole;
+    }
+    for (int64_t c = 0; c < nb; ++c) acc[c] /= denom;
+  }
+  // causal: c[i] = g x[i] + z c[i-1], kept in double
+  for (int64_t c = 0; c < nb; ++c) dbuf[c] = acc[c];
+  for (int64_t i = 1; i < h; ++i) {
+    const float* row = img + i * w3 + c_begin;
+    double* cur = dbuf + i * nb;
+    const double* prev = dbuf + (i - 1) * nb;
+    for (int64_t c = 0; c < nb; ++c)
+      cur[c] = kGain * row[c] + kPole * prev[c];
+  }
+  // anticausal init (mirror): c[n-1] = z/(z^2-1) (z c[n-2] + c[n-1]),
+  // then c[i] = z (c[i+1] - c[i]); f32 write-back happens once here
+  {
+    const double f = kPole / (kPole * kPole - 1.0);
+    double* last = dbuf + (h - 1) * nb;
+    const double* pen = dbuf + (h - 2) * nb;
+    float* row = img + (h - 1) * w3 + c_begin;
+    for (int64_t c = 0; c < nb; ++c) {
+      last[c] = f * (kPole * pen[c] + last[c]);
+      row[c] = (float)last[c];
+    }
+  }
+  for (int64_t i = h - 2; i >= 0; --i) {
+    double* cur = dbuf + i * nb;
+    const double* nxt = dbuf + (i + 1) * nb;
+    float* row = img + i * w3 + c_begin;
+    for (int64_t c = 0; c < nb; ++c) {
+      cur[c] = kPole * (nxt[c] - cur[c]);
+      row[c] = (float)cur[c];
+    }
+  }
+}
+
+void filter_axis0_block(void* vctx, int64_t c_begin, int64_t c_end) {
+  filt0_ctx* ctx = (filt0_ctx*)vctx;
+  const int64_t h = ctx->h;
+  if (h == 1) return;  // coefficients equal samples
+  double* dbuf = (double*)malloc((size_t)h * 256 * sizeof(double));
+  if (!dbuf) return;
+  for (int64_t c0 = c_begin; c0 < c_end; c0 += 256) {
+    const int64_t nb = (c_end - c0) < 256 ? (c_end - c0) : 256;
+    filter_axis0_subblock(ctx->img, h, ctx->w3, c0, nb, dbuf);
+  }
+  free(dbuf);
+}
+
+// IIR prefilter along axis 1 for rows [r_begin, r_end): each row is a
+// contiguous [w, ch] strip; the recursion runs per channel with stride
+// ch inside a double line buffer (whole line in double, like scipy).
+typedef struct {
+  float* img;
+  int64_t w, ch, w3;
+} filt1_ctx;
+
+void filter_axis1_rows(void* vctx, int64_t r_begin, int64_t r_end) {
+  filt1_ctx* ctx = (filt1_ctx*)vctx;
+  const int64_t w = ctx->w, ch = ctx->ch, w3 = ctx->w3;
+  if (w == 1) return;
+  double* line = (double*)malloc(w3 * sizeof(double));
+  if (!line) return;
+  const double zn1 = pow(kPole, (double)(w - 1));
+  const double denom = 1.0 - zn1 * zn1;
+  const double af = kPole / (kPole * kPole - 1.0);
+  for (int64_t r = r_begin; r < r_end; ++r) {
+    float* row = ctx->img + r * w3;
+    for (int64_t i = 0; i < w3; ++i) line[i] = kGain * row[i];
+    for (int64_t c = 0; c < ch; ++c) {
+      double* l = line + c;
+      double acc;
+      if (kInitHorizon < w) {  // truncated causal mirror init
+        acc = 0.0;
+        double zj = 1.0;
+        for (int64_t j = 0; j < kInitHorizon; ++j) {
+          acc += zj * l[j * ch];
+          zj *= kPole;
+        }
+      } else {  // exact closed form
+        acc = l[0] + zn1 * l[(w - 1) * ch];
+        double zj = kPole, z2nj = zn1 * zn1 / kPole;
+        for (int64_t j = 1; j < w - 1; ++j) {
+          acc += (zj + z2nj) * l[j * ch];
+          zj *= kPole;
+          z2nj /= kPole;
+        }
+        acc /= denom;
+      }
+      l[0] = acc;
+      for (int64_t i = 1; i < w; ++i)
+        l[i * ch] += kPole * l[(i - 1) * ch];
+      l[(w - 1) * ch] = af * (kPole * l[(w - 2) * ch] + l[(w - 1) * ch]);
+      for (int64_t i = w - 2; i >= 0; --i)
+        l[i * ch] = kPole * (l[(i + 1) * ch] - l[i * ch]);
+    }
+    for (int64_t i = 0; i < w3; ++i) row[i] = (float)line[i];
+  }
+  free(line);
+}
+
+// 4-tap cubic B-spline evaluation taps at half-pixel coordinates with
+// scipy 'mirror' indices (ops/resize.py:_bspline_taps parity: weights
+// computed in double, stored f32).
+void bspline_taps(int64_t in_size, int64_t out_size, int32_t* idx,
+                  float* wgt) {
+  const double scale = (double)in_size / (double)out_size;
+  const int64_t period = in_size > 1 ? 2 * in_size - 2 : 1;
+  for (int64_t o = 0; o < out_size; ++o) {
+    const double x = ((double)o + 0.5) * scale - 0.5;
+    const int64_t base = (int64_t)floor(x);
+    for (int k = 0; k < 4; ++k) {
+      const int64_t tap = base + k - 1;
+      int64_t m = tap >= 0 ? tap % period : (-tap) % period;
+      if (m >= in_size) m = period - m;
+      idx[4 * o + k] = (int32_t)m;
+      const double u = fabs(x - (double)tap);
+      double bw = 0.0;
+      if (u < 1.0)
+        bw = (4.0 - 6.0 * u * u + 3.0 * u * u * u) / 6.0;
+      else if (u < 2.0)
+        bw = (2.0 - u) * (2.0 - u) * (2.0 - u) / 6.0;
+      wgt[4 * o + k] = (float)bw;
+    }
+  }
+}
+
+// rows tap pass: out[o, :] = sum_k w[k,o] * coef[idx[k,o], :]
+typedef struct {
+  const float* coef;
+  float* out;
+  const int32_t* idx;
+  const float* wgt;
+  int64_t w3;
+} rows_ctx;
+
+void resize_rows_pass(void* vctx, int64_t o_begin, int64_t o_end) {
+  rows_ctx* ctx = (rows_ctx*)vctx;
+  const int64_t w3 = ctx->w3;
+  for (int64_t o = o_begin; o < o_end; ++o) {
+    float* dst = ctx->out + o * w3;
+    const float w0 = ctx->wgt[4 * o], w1 = ctx->wgt[4 * o + 1],
+                w2 = ctx->wgt[4 * o + 2], w3f = ctx->wgt[4 * o + 3];
+    const float* s0 = ctx->coef + (int64_t)ctx->idx[4 * o] * w3;
+    const float* s1 = ctx->coef + (int64_t)ctx->idx[4 * o + 1] * w3;
+    const float* s2 = ctx->coef + (int64_t)ctx->idx[4 * o + 2] * w3;
+    const float* s3 = ctx->coef + (int64_t)ctx->idx[4 * o + 3] * w3;
+    // numpy accumulation order: ((w0*s0 + w1*s1) + w2*s2) + w3*s3
+    for (int64_t i = 0; i < w3; ++i)
+      dst[i] = ((w0 * s0[i] + w1 * s1[i]) + w2 * s2[i]) + w3f * s3[i];
+  }
+}
+
+// cols tap pass + clip: out2[r, j, :] = clip(sum_k w[k,j] *
+// tmp[r, idx[k,j], :], lo, hi)
+typedef struct {
+  const float* tmp;
+  float* out;
+  const int32_t* idx;
+  const float* wgt;
+  int64_t in_w, out_w, ch;
+  float lo, hi;
+} cols_ctx;
+
+void resize_cols_pass(void* vctx, int64_t r_begin, int64_t r_end) {
+  cols_ctx* ctx = (cols_ctx*)vctx;
+  const int64_t ch = ctx->ch;
+  for (int64_t r = r_begin; r < r_end; ++r) {
+    const float* src = ctx->tmp + r * ctx->in_w * ch;
+    float* dst = ctx->out + r * ctx->out_w * ch;
+    for (int64_t j = 0; j < ctx->out_w; ++j) {
+      const float w0 = ctx->wgt[4 * j], w1 = ctx->wgt[4 * j + 1],
+                  w2 = ctx->wgt[4 * j + 2], w3f = ctx->wgt[4 * j + 3];
+      const float* s0 = src + (int64_t)ctx->idx[4 * j] * ch;
+      const float* s1 = src + (int64_t)ctx->idx[4 * j + 1] * ch;
+      const float* s2 = src + (int64_t)ctx->idx[4 * j + 2] * ch;
+      const float* s3 = src + (int64_t)ctx->idx[4 * j + 3] * ch;
+      for (int64_t c = 0; c < ch; ++c) {
+        float v = ((w0 * s0[c] + w1 * s1[c]) + w2 * s2[c]) + w3f * s3[c];
+        if (v < ctx->lo) v = ctx->lo;
+        if (v > ctx->hi) v = ctx->hi;
+        dst[j * ch + c] = v;
+      }
+    }
+  }
+}
+
+// u8 -> f32/255 conversion
+typedef struct {
+  const uint8_t* src;
+  float* dst;
+} u8f_ctx;
+
+void u8_to_f32_pass(void* vctx, int64_t begin, int64_t end) {
+  u8f_ctx* ctx = (u8f_ctx*)vctx;
+  // f32 division, not reciprocal multiply: numpy's astype(f32)/255.0
+  // rounds the division result, and 1-ulp input deltas can cross the
+  // rint boundary after the resize
+  for (int64_t i = begin; i < end; ++i)
+    ctx->dst[i] = (float)ctx->src[i] / 255.0f;
+}
+
+// trim row flags + quantize: keep[r] = mean_w(sum_c(v) > thr) > frac;
+// out u8 = rint(clip(v, 0, 1) * 255) (rint = ties to even, like np.rint)
+typedef struct {
+  const float* img;
+  uint8_t* out;
+  uint8_t* keep;  // may be NULL (no trim decision needed)
+  int64_t w, ch;
+  float thr;     // pixel channel-sum threshold: numpy compares f32 > f32
+  double frac;   // row fraction: numpy mean() is f64, compared in f64
+} quant_ctx;
+
+void quantize_trim_pass(void* vctx, int64_t r_begin, int64_t r_end) {
+  quant_ctx* ctx = (quant_ctx*)vctx;
+  const int64_t w = ctx->w, ch = ctx->ch;
+  for (int64_t r = r_begin; r < r_end; ++r) {
+    const float* src = ctx->img + r * w * ch;
+    uint8_t* dst = ctx->out + r * w * ch;
+    int64_t nonblack = 0;
+    for (int64_t j = 0; j < w; ++j) {
+      float s = 0.0f;
+      for (int64_t c = 0; c < ch; ++c) {
+        float v = src[j * ch + c];
+        s += v;
+        if (v < 0.0f) v = 0.0f;
+        if (v > 1.0f) v = 1.0f;
+        dst[j * ch + c] = (uint8_t)(int)rintf(v * 255.0f);
+      }
+      if (s > ctx->thr) nonblack++;
+    }
+    if (ctx->keep)
+      ctx->keep[r] = ((double)nonblack / (double)w) > ctx->frac;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full preprocess of one decoded RGB image (reference models.py:191-203
+// semantics; twin of pipeline/preprocess._preprocess_host_one):
+//   f32 = img / 255
+//   if max(h, w) > target: prefiltered cubic B-spline resize to
+//     target x target (scipy/skimage parity), clipped to the input range
+//   if resized or h == w: compute trim bounds over the float image
+//     (channel-sum > thr per pixel; row kept when the nonblack fraction
+//     > frac); *first/*last get the kept row range, caller crops
+//   out u8 = rint(clip(f32, 0, 1) * 255)
+// out must hold target*target*3 bytes when resizing, else h*w*3.
+// When no trim decision applies, *first = -1. Threaded across
+// rows/columns with `threads` pthreads.
+int preprocess_image_u8(const uint8_t* img, int32_t in_h, int32_t in_w,
+                        int32_t target, double trim_thr, double trim_frac,
+                        uint8_t* out, int32_t* first, int32_t* last,
+                        int32_t threads) {
+  if (!img || !out || !first || !last || in_h < 1 || in_w < 1 ||
+      target < 2)
+    return BARKIO_E_ARG;
+  const int64_t ch = 3;
+  const int do_resize = (in_h > target || in_w > target);
+  const int do_trim = do_resize || (in_h == in_w);
+  const int64_t oh = do_resize ? target : in_h;
+  const int64_t ow = do_resize ? target : in_w;
+
+  // input range for the resize clip (skimage clip=True): min/max of the
+  // u8 source, exact in f32 after /255
+  float lo = 1.0f, hi = 0.0f;
+  if (do_resize) {
+    uint8_t mn = 255, mx = 0;
+    const int64_t n = (int64_t)in_h * in_w * ch;
+    for (int64_t i = 0; i < n; ++i) {
+      const uint8_t v = img[i];
+      if (v < mn) mn = v;
+      if (v > mx) mx = v;
+    }
+    lo = (float)mn * (1.0f / 255.0f);
+    hi = (float)mx * (1.0f / 255.0f);
+  }
+
+  float* fimg = (float*)malloc((int64_t)in_h * in_w * ch * sizeof(float));
+  if (!fimg) return BARKIO_E_IO;
+  u8f_ctx uc = {img, fimg};
+  parallel_for((int64_t)in_h * in_w * ch, threads, u8_to_f32_pass, &uc);
+
+  float* final_f = fimg;
+  float* resized = nullptr;
+  float* tmp = nullptr;
+  int32_t* ridx = nullptr;
+  float* rwgt = nullptr;
+  if (do_resize) {
+    // prefilter both axes in place
+    filt0_ctx f0 = {fimg, in_h, (int64_t)in_w * ch};
+    parallel_for((int64_t)in_w * ch, threads, filter_axis0_block, &f0);
+    filt1_ctx f1 = {fimg, in_w, ch, (int64_t)in_w * ch};
+    parallel_for(in_h, threads, filter_axis1_rows, &f1);
+
+    tmp = (float*)malloc((int64_t)target * in_w * ch * sizeof(float));
+    resized = (float*)malloc((int64_t)target * target * ch *
+                             sizeof(float));
+    ridx = (int32_t*)malloc(4 * (int64_t)target * sizeof(int32_t));
+    rwgt = (float*)malloc(4 * (int64_t)target * sizeof(float));
+    if (!tmp || !resized || !ridx || !rwgt) {
+      free(fimg); free(tmp); free(resized); free(ridx); free(rwgt);
+      return BARKIO_E_IO;
+    }
+    bspline_taps(in_h, target, ridx, rwgt);
+    rows_ctx rc = {fimg, tmp, ridx, rwgt, (int64_t)in_w * ch};
+    parallel_for(target, threads, resize_rows_pass, &rc);
+    bspline_taps(in_w, target, ridx, rwgt);
+    cols_ctx cc = {tmp, resized, ridx, rwgt, in_w, target, ch, lo, hi};
+    parallel_for(target, threads, resize_cols_pass, &cc);
+    free(tmp); tmp = nullptr;
+    free(fimg); fimg = nullptr;
+    final_f = resized;
+  }
+
+  uint8_t* keep = do_trim ? (uint8_t*)malloc(oh) : nullptr;
+  if (do_trim && !keep) {
+    free(fimg); free(resized); free(ridx); free(rwgt);
+    return BARKIO_E_IO;
+  }
+  quant_ctx qc = {final_f, out, keep, ow, ch, (float)trim_thr,
+                  trim_frac};
+  parallel_for(oh, threads, quantize_trim_pass, &qc);
+
+  if (do_trim) {
+    // np.argmax semantics: first True, all-False -> 0 (no trim)
+    int32_t f = 0, l = (int32_t)oh;
+    while (f < (int32_t)oh && !keep[f]) f++;
+    if (f == (int32_t)oh) f = 0;  // all-False: argmax = 0
+    int32_t back = 0;
+    while (back < (int32_t)oh && !keep[oh - 1 - back]) back++;
+    if (back == (int32_t)oh) back = 0;
+    l = (int32_t)oh - back;
+    *first = f;
+    *last = l;
+  } else {
+    *first = -1;
+    *last = -1;
+  }
+  free(keep);
+  free(resized);
+  free(fimg);
+  free(ridx);
+  free(rwgt);
+  return BARKIO_OK;
 }
 
 }  // extern "C"

@@ -96,6 +96,14 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int32]
     except AttributeError:  # pragma: no cover
         pass
+    try:  # threaded resize+trim preprocess; absent in older builds
+        lib.preprocess_image_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    except AttributeError:  # pragma: no cover
+        pass
     _LIB = lib
     return _LIB
 
@@ -194,6 +202,49 @@ def batch_decode(paths: list[str], shape: tuple[int, ...],
                           out.ctypes.data_as(ctypes.c_void_p), item,
                           status.ctypes.data_as(ctypes.c_void_p), threads)
     return out if rc == 0 else None
+
+
+def preprocess_image_native(img: np.ndarray, target: int,
+                            trim_thr: float, trim_frac: float,
+                            threads: int = 1
+                            ) -> tuple[np.ndarray, int, int] | None:
+    """Native resize+trim+quantize preprocess of one decoded uint8
+    [H, W, 3] image (reference models.py:191-203 semantics; the scipy
+    twin is pipeline/preprocess._preprocess_host_one).
+
+    Returns (out_u8, first, last): out_u8 is [target, target, 3] when the
+    image was resized (max(H, W) > target) else [H, W, 3]; (first, last)
+    is the kept row range when the trim decision applied, else (-1, -1)
+    — the caller crops ``out_u8[first:last]``. None when the native
+    library (or this entry point) is unavailable.
+
+    The C pass reproduces the host path's math exactly: per-line
+    double-precision mirror-boundary cubic B-spline IIR prefilter
+    (bit-exact vs scipy.ndimage.spline_filter1d, incl. its truncated
+    causal init), f32 4-tap evaluation in numpy accumulation order, clip
+    to the input range, f64 row-fraction trim compare, rint
+    quantization.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "preprocess_image_u8"):
+        return None
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        return None
+    img = np.ascontiguousarray(img)
+    h, w = img.shape[:2]
+    do_resize = max(h, w) > target
+    out = np.empty((target, target, 3) if do_resize else (h, w, 3),
+                   np.uint8)
+    first = ctypes.c_int32()
+    last = ctypes.c_int32()
+    rc = lib.preprocess_image_u8(
+        img.ctypes.data_as(ctypes.c_void_p), h, w, target,
+        float(trim_thr), float(trim_frac),
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.byref(first),
+        ctypes.byref(last), threads)
+    if rc != 0:
+        return None
+    return out, int(first.value), int(last.value)
 
 
 def remove_small_zones_host(class_maps: np.ndarray,

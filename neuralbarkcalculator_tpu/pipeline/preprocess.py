@@ -82,10 +82,13 @@ class Preprocessor:
     ``backend``:
     - 'device' — uint8 upload + MXU-matmul resize + device trim bounds
       (the default on a co-located host, where transfers cost ~ms);
-    - 'host' — scipy-IIR + 4-tap B-spline resize (ops/resize.py:
-      spline_resize_host, same math) entirely host-side. A 4096^2 BMP is
-      48 MB; when host->device bandwidth is tunnel-bound, shipping it
-      costs more than resizing it locally;
+    - 'host' — prefiltered cubic B-spline resize entirely host-side:
+      the threaded native C++ pass when built (io/native.py:
+      preprocess_image_native — bit-exact with scipy, ~4-6x faster per
+      core), else the scipy-IIR twin (ops/resize.py:
+      spline_resize_host, same math). A 4096^2 BMP is 48 MB; when
+      host->device bandwidth is tunnel-bound, shipping it costs more
+      than resizing it locally;
     - 'auto' — calibrate once (measured transfer bandwidth + a small
       host-resize probe scaled by the core count available to the IO
       pool) and pick the cheaper predicted path. A co-located host
@@ -131,18 +134,27 @@ class Preprocessor:
         device ≈ upload of the uint8 source over the measured link (the
         MXU resize itself is ~ms); host ≈ a 1/16-scale resize probe
         scaled to the source size, divided by the cores the IO thread
-        pool can actually use (scipy/numpy release the GIL).
+        pool can actually use (the native pass and scipy/numpy all
+        release the GIL). The probe runs the ACTUAL host path — the
+        native C++ resize when built, the scipy twin otherwise — so the
+        decision reflects what would really run.
         """
         import time
 
         bw = measure_transfer_bandwidth()
         device_s = (src * src * 3) / bw + 0.1  # + dispatch/pull overhead
 
+        from ..io.native import preprocess_image_native
         probe_src = src // 4
-        probe = (np.random.default_rng(0).random(
-            (probe_src, probe_src, 3)) * 255).astype(np.float32)
+        rng = np.random.default_rng(0)
+        probe_u8 = (rng.random((probe_src, probe_src, 3))
+                    * 255).astype(np.uint8)
         t0 = time.perf_counter()
-        spline_resize_host(probe, probe_src // 4, probe_src // 4)
+        if preprocess_image_native(probe_u8, probe_src // 4,
+                                   TRIM_PIXEL_THRESHOLD,
+                                   TRIM_ROW_FRACTION, threads=1) is None:
+            spline_resize_host(probe_u8.astype(np.float32),
+                               probe_src // 4, probe_src // 4)
         probe_s = time.perf_counter() - t0
         cores = max(1, min(self.io_workers, os.cpu_count() or 1))
         host_s = probe_s * 16 / cores
@@ -281,12 +293,33 @@ class Preprocessor:
         if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
             raise ValueError(
                 f"expected uint8 [h, w, 3], got {img.dtype} {img.shape}")
-        return self._preprocess_host_one(img)
+        return self._preprocess_host_one(
+            img, threads=min(self.io_workers, os.cpu_count() or 1))
 
-    def _preprocess_host_one(self, img: np.ndarray) -> np.ndarray:
+    def _preprocess_host_one(self, img: np.ndarray,
+                             threads: int = 1) -> np.ndarray:
         """Host twin of _preprocess_batch + the ragged crop: resize
         decision, spline resize, trim, uint8 quantization — identical
-        semantics (reference models.py:191-203)."""
+        semantics (reference models.py:191-203).
+
+        Prefers the native C++ pass (io/native.preprocess_image_native:
+        bit-exact scipy IIR prefilter, threaded) and falls back to the
+        scipy+numpy math below when the library isn't built. ``threads``
+        parallelizes WITHIN the image — callers already running one
+        image per pool worker keep the default 1 (image-level
+        parallelism composes better than nested oversubscription);
+        single-request callers (serving preprocess_one) pass the core
+        count.
+        """
+        from ..io.native import preprocess_image_native
+
+        if img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3:
+            res = preprocess_image_native(
+                img, self.target_size, TRIM_PIXEL_THRESHOLD,
+                TRIM_ROW_FRACTION, threads=threads)
+            if res is not None:
+                out, first, last = res
+                return out[first:last] if first >= 0 else out
         h, w = img.shape[:2]
         do_resize = max(h, w) > self.target_size
         imgf = img.astype(np.float32) / 255.0

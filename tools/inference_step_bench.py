@@ -1,0 +1,171 @@
+"""The ONE inference device-step benchmark: regenerates
+benchmarks/inference_step.json.
+
+Measures the exact jitted program the predict engine runs
+(pipeline/predict.py ``_device_step``: normalize + forward + fused Pallas
+upsample/argmax + 2-bit pack) for the default bf16+fold config and the
+int8 config, over a batch sweep, under ONE protocol — replacing the
+round-3 situation where ``inference_step.json`` (min-of-10 steady-state
+steps, space-to-depth rows) and ``int8_step.json`` (dispatch
+differencing, non-s2d) disagreed on the same nominal row (9.4 vs 7.44
+ms/img at bf16 b16).
+
+Protocol (tunnel-safe dispatch differencing): through the tunneled
+runtime, dispatch returns at enqueue and ``block_until_ready`` does not
+reliably cover device execution, so each sample times "K dispatches +
+one host pull of the last output" for two K values and reports
+(T_K2 - T_K1) / (K2 - K1): the device executes programs in submission
+order, so the difference is pure per-step device time with the pull/RTT
+cancelled. On a co-located host the same arithmetic is simply a
+steady-state average. best-of-R samples is the row value; the samples
+ship in the JSON so the spread is on the record.
+
+FLOPs come from XLA ``cost_analysis()`` of the very program being timed
+(compiled server-side; the analysis reflects the optimized HLO). MFU is
+stated against the v5e bf16 peak (197 TF/s) for bf16 rows and the int8
+peak (394 TOPs) for int8 rows — cost_analysis FLOPs are dtype-agnostic
+op counts, so int8 MFU reads as "fraction of the int8 roofline".
+
+Run on the real chip:
+    python tools/inference_step_bench.py [--batches 1,2,4,8,16,32,64]
+Writes benchmarks/inference_step.json (full provenance inside).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+BF16_PEAK_TFLOPS = 197.0  # v5e MXU bf16
+INT8_PEAK_TOPS = 394.0    # v5e MXU int8 (2x bf16)
+
+
+def build_engine(model_path: str, int8: bool, batch: int):
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.pipeline.predict import \
+        NeuralBarkCalculator
+
+    config = PredictConfig(model_path=model_path, batch_size=batch,
+                           quantize_int8=int8)
+    return NeuralBarkCalculator(model_path, config=config)
+
+
+def measure(calc, batch: int, h: int = 1024, w: int = 1024,
+            k1: int = 4, k2: int = 24, samples: int = 3):
+    """(ms_per_batch best, [samples...], flops_per_batch or None)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+
+    rng = np.random.default_rng(0)
+    imgs = (rng.uniform(0.2, 0.9, (batch, h, w, 3)) * 255).astype(np.uint8)
+    items = [ProcessedImage(im, f"t{i}.png", "sapin")
+             for i, im in enumerate(imgs)]
+    # one full pump pass: triggers int8 calibration + compiles the step
+    for _ in calc.predict_images(items):
+        pass
+
+    dev = jax.device_put(imgs, calc.rules.image_batch)
+    vh = jax.device_put(jnp.full((batch,), h, jnp.int32), calc.rules.batch)
+    row_ops = jax.device_put(
+        jnp.stack([calc._row_op_dev(h, h)] * batch), calc.rules.batch)
+    fn = calc._device_step(h, batch, pack=(w % 4 == 0))
+    np.asarray(fn(calc.variables, dev, vh, row_ops))  # warm
+
+    flops = None
+    try:
+        cost = fn.lower(calc.variables, dev, vh,
+                        row_ops).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost["flops"])
+    except Exception as e:  # cost analysis is evidence, not the metric
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = fn(calc.variables, dev, vh, row_ops)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    run(2)  # reach steady state before sampling
+    vals = sorted(1e3 * (run(k2) - run(k1)) / (k2 - k1)
+                  for _ in range(samples))
+    return vals[0], vals, flops
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_path", default=os.path.expanduser(
+        "~/.cache/neuralbarkcalculator_tpu/bench_model.msgpack"))
+    ap.add_argument("--batches", default="1,2,4,8,16,32,64")
+    ap.add_argument("--int8_batches", default="4,8,16,32,64",
+                    help="int8 sweep (calibration needs >=1 image; tiny "
+                         "batches are not the int8 deployment point)")
+    ap.add_argument("--samples", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    print(f"backend={jax.default_backend()}", file=sys.stderr)
+    np.asarray(jax.numpy.ones((8, 128)))  # warm the first-pull path
+
+    results: dict[str, dict] = {}
+    for int8, batches in ((False, args.batches), (True, args.int8_batches)):
+        for batch in [int(b) for b in batches.split(",") if b]:
+            calc = build_engine(args.model_path, int8, batch)
+            ms, samples, flops = measure(calc, batch,
+                                         samples=args.samples)
+            peak = INT8_PEAK_TOPS if int8 else BF16_PEAK_TFLOPS
+            row = {
+                "ms_per_batch": round(ms, 2),
+                "ms_per_img": round(ms / batch, 3),
+                "samples_ms": [round(s, 2) for s in samples],
+            }
+            if flops:
+                tps = flops / (ms * 1e-3) / 1e12
+                row["tflops_per_s"] = round(tps, 1)
+                row["mfu_pct"] = round(100.0 * tps / peak, 1)
+                row["flops_per_img"] = round(flops / batch / 1e9, 2)
+            key = f"{'int8' if int8 else 'bf16_fold'}_b{batch}"
+            results[key] = row
+            print(json.dumps({key: row}), flush=True)
+            del calc
+
+    payload = {
+        "tool": "tools/inference_step_bench.py",
+        "protocol": ("dispatch differencing (T_K2-T_K1)/(K2-K1), K=4/24, "
+                     "best of N samples (all samples recorded); exact "
+                     "engine _device_step: normalize + forward + fused "
+                     "Pallas upsample/argmax + 2-bit pack, 1024x1024, "
+                     "trained bench model, device-resident inputs"),
+        "configs": {"bf16_fold": "PredictConfig defaults (bf16, BN "
+                                 "folded, non-s2d stem)",
+                    "int8": "PredictConfig.quantize_int8 (per-channel "
+                            "weights, static activation scales)"},
+        "mfu_peaks": {"bf16_fold": f"{BF16_PEAK_TFLOPS} TF/s (v5e bf16)",
+                      "int8": f"{INT8_PEAK_TOPS} TOPs (v5e int8; "
+                              "cost_analysis FLOPs are dtype-agnostic, "
+                              "so int8 MFU = fraction of int8 roofline)"},
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "jax": jax.__version__,
+        "results": results,
+    }
+    out = os.path.join(REPO, "benchmarks", "inference_step.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,9 @@ def load_lib():
                                              vp, i32]
     lib.remove_small_zones_batch2.argtypes = [vp, i32, i32, i32, i32, vp,
                                               i32, i32, vp, vp, i32]
+    lib.preprocess_image_u8.argtypes = [vp, i32, i32, i32,
+                                        ctypes.c_double, ctypes.c_double,
+                                        vp, P(i32), P(i32), i32]
     return lib
 
 
@@ -163,6 +166,82 @@ def fuzz_ccl(lib, rng, iters: int) -> int:
             assert rc == 0 and (out3 == out2).all() and \
                 (c3 == counts).all(), f"packed mismatch h={h} w={w}"
         checks += 1
+    return checks
+
+
+def fuzz_preprocess(lib, rng, iters: int) -> int:
+    """preprocess_image_u8 across hostile shapes/thread counts: memory
+    safety + invariants (bounds in range, trim flag semantics, thread
+    invariance); scipy-parity goldens live in
+    tests/test_preprocess_native.py."""
+    import numpy as np
+    checks = 0
+    for it in range(iters):
+        kind = it % 4
+        if kind == 0:      # tiny (shorter than the IIR init horizon)
+            h = int(rng.integers(1, 32))
+            w = int(rng.integers(1, 32))
+            target = int(rng.integers(2, 24))
+        elif kind == 1:    # skinny
+            h = int(rng.integers(1, 4))
+            w = int(rng.integers(1, 600))
+            target = int(rng.integers(2, 64))
+        elif kind == 2:    # resize path
+            h = int(rng.integers(64, 300))
+            w = int(rng.integers(64, 300))
+            target = int(rng.integers(16, 128))
+        else:              # no-resize (square and not)
+            target = int(rng.integers(64, 256))
+            h = int(rng.integers(1, target + 1))
+            w = h if rng.random() < 0.5 else int(
+                rng.integers(1, target + 1))
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        if rng.random() < 0.3:
+            img[: max(1, h // 4)] = 0  # dark band
+        do_resize = max(h, w) > target
+        oh, ow = (target, target) if do_resize else (h, w)
+        out = np.full((oh, ow, 3), 0xAB, np.uint8)
+        first = ctypes.c_int32(-2)
+        last = ctypes.c_int32(-2)
+        threads = int(rng.choice([1, 2, 8]))
+        rc = lib.preprocess_image_u8(
+            img.ctypes.data_as(ctypes.c_void_p), h, w, target,
+            1e-3, 0.85, out.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(first), ctypes.byref(last), threads)
+        assert rc == 0, f"rc={rc} h={h} w={w} target={target}"
+        if do_resize or h == w:
+            assert 0 <= first.value <= last.value <= oh, \
+                f"bounds {first.value}:{last.value} oh={oh}"
+        else:
+            assert first.value == -1 and last.value == -1
+        if threads != 1:  # thread invariance
+            out1 = np.empty_like(out)
+            f1 = ctypes.c_int32()
+            l1 = ctypes.c_int32()
+            rc = lib.preprocess_image_u8(
+                img.ctypes.data_as(ctypes.c_void_p), h, w, target,
+                1e-3, 0.85, out1.ctypes.data_as(ctypes.c_void_p),
+                ctypes.byref(f1), ctypes.byref(l1), 1)
+            assert rc == 0 and (out1 == out).all() and \
+                (f1.value, l1.value) == (first.value, last.value)
+        checks += 1
+    # arg validation: NULLs and bad sizes must fail cleanly
+    out = np.empty((4, 4, 3), np.uint8)
+    f = ctypes.c_int32()
+    l_ = ctypes.c_int32()
+    assert lib.preprocess_image_u8(
+        None, 4, 4, 16, 1e-3, 0.85,
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(f), ctypes.byref(l_), 1) != 0
+    assert lib.preprocess_image_u8(
+        out.ctypes.data_as(ctypes.c_void_p), 0, 4, 16, 1e-3, 0.85,
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(f), ctypes.byref(l_), 1) != 0
+    assert lib.preprocess_image_u8(
+        out.ctypes.data_as(ctypes.c_void_p), 4, 4, 1, 1e-3, 0.85,
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(f), ctypes.byref(l_), 1) != 0
+    checks += 3
     return checks
 
 
@@ -309,8 +388,9 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmp:
         n1 = fuzz_ccl(lib, rng, args.iters)
         n2 = fuzz_codecs(lib, rng, args.iters, tmp)
+        n3 = fuzz_preprocess(lib, rng, args.iters)
     print(f"SANITIZE_OK ccl_checks={n1} codec_checks={n2} "
-          f"(ASan+UBSan, no reports)")
+          f"preprocess_checks={n3} (ASan+UBSan, no reports)")
 
 
 if __name__ == "__main__":
