@@ -65,6 +65,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "(reference byte-style output) instead of the "
                              "first-party compositor (same layout, ~8x "
                              "faster)")
+    parser.add_argument("--shard", type=str, default=None, metavar="K/N",
+                        help="multi-host folder inference: this process "
+                             "computes manifest indices i%%N==K and writes "
+                             "a per-shard CSV; the K=0 process waits for "
+                             "the others and merges final_stats.csv "
+                             "(pipeline/multihost.py). Launch one process "
+                             "per host with K=0..N-1 over a shared "
+                             "filesystem (mpirun, GNU parallel, or a "
+                             "per-host systemd unit all work — shards "
+                             "never talk to each other)")
     parser.add_argument("--watch", type=float, default=None, metavar="SECS",
                         help="serving mode: re-scan ROOT every SECS "
                              "seconds, preprocessing and predicting only "
@@ -109,23 +119,74 @@ def main(args: argparse.Namespace) -> None:
     if args.mpl:
         config.renderer = "mpl"
 
+    shard = None
+    if args.shard is not None:
+        try:
+            k, n = (int(x) for x in args.shard.split("/"))
+        except ValueError:
+            raise SystemExit(f"--shard must look like K/N, got "
+                             f"{args.shard!r}")
+        if not 0 <= k < n:
+            raise SystemExit(f"--shard {args.shard}: need 0 <= K < N")
+        shard = (k, n)
+
     model = None
 
     def run_once(resume: bool) -> None:
         nonlocal model
-        generate_folders(args.root_path, args.only_preprocess)
-        images = Preprocessor(
-            backend=args.preprocess_backend).preprocess_images(
-            args.root_path, resume=resume)
-        if args.only_preprocess:
+        if shard is not None:
+            from ..pipeline.multihost import (predict_folder_multihost,
+                                              wait_for_processed)
+            # preprocessing is owned by shard 0 (PNG writes are not
+            # atomic, so concurrent shards must not write the same
+            # file); the others wait until every source record's
+            # processed PNG exists, which also guarantees all shards
+            # see the identical processed manifest (the shard indices
+            # must agree across hosts)
+            if shard[0] == 0:
+                generate_folders(args.root_path, args.only_preprocess)
+                Preprocessor(
+                    backend=args.preprocess_backend).preprocess_images(
+                    args.root_path, resume=True)
+            else:
+                wait_for_processed(args.root_path)
+            if args.only_preprocess:
+                return
+            predict_folder_multihost(
+                args.model_path, args.root_path, args.exclude_nodes,
+                config=config, model_name=args.model,
+                process_id=shard[0], num_processes=shard[1],
+                resume=resume)
             return
+        generate_folders(args.root_path, args.only_preprocess)
+        pre = Preprocessor(backend=args.preprocess_backend)
+        if args.only_preprocess:
+            pre.preprocess_images(args.root_path, resume=resume)
+            return
+        if resume:
+            # resume/watch mode streams from processed/ on disk (the
+            # incremental preprocess returns only new images; predict
+            # skips done ones)
+            pre.preprocess_images(args.root_path, resume=True)
+            if model is None:
+                model = NeuralBarkCalculator(args.model_path,
+                                             config=config,
+                                             model_name=args.model)
+            model.predict(args.root_path, args.exclude_nodes,
+                          resume=True)
+            return
+        # fresh full run: fused pipeline — preprocessed images stream
+        # straight into the predict pump (end-to-end ~ max(stages), not
+        # their sum, and the folder never materializes in RAM)
+        from ..data.dataset import make_dataset
+        total = len(make_dataset(args.root_path))
         if model is None:
             model = NeuralBarkCalculator(args.model_path, config=config,
                                          model_name=args.model)
-        # in resume/watch mode stream from processed/ (the incremental
-        # preprocess returns only new images; predict skips done ones)
-        model.predict(args.root_path, args.exclude_nodes,
-                      images=None if resume else images, resume=resume)
+        model.predict_streaming(
+            args.root_path,
+            pre.preprocess_stream(args.root_path),
+            exclude_nodes=args.exclude_nodes, total=total)
 
     if args.watch is None:
         run_once(args.resume)

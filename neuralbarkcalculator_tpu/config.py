@@ -161,3 +161,15 @@ class PredictConfig:
     # chunk as two device_put groups so the first transfer starts after
     # a few decodes instead of after the whole chunk (dead link time at
     # every chunk head on a bandwidth-bound host<->device path)
+    effnet_bucket_heights: bool = False  # EfficientNet backbones can't
+    # run masked ragged batches exactly (TF-SAME stride phase,
+    # models/efficientnet.py), so by default they compile one program
+    # per DISTINCT trimmed height — unbounded warmup on height-diverse
+    # folders. This opt-in pads EfficientNet inputs up to the height
+    # bucket with EDGE-REPLICATED rows instead (<= 8 programs like the
+    # ResNet path), trading exactness for bounded compiles: the whole
+    # map becomes APPROXIMATE — squeeze-excite global-pools the feature
+    # map, so pad rows perturb every pixel's SE scale slightly, flipping
+    # near-tie argmax pixels (tests/test_efficientnet.py bounds the
+    # effect; exact when heights already sit on the bucket). ResNet
+    # backbones ignore this (their ragged batching is bit-exact).

@@ -27,6 +27,7 @@ from __future__ import annotations
 import functools
 import os
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence
 
@@ -111,9 +112,32 @@ class NeuralBarkCalculator:
         # (TF-SAME stride phase, models/efficientnet.py): fall back to
         # exact-height bucketing — images grouped by their true trimmed
         # height, one compiled program per distinct height. Slower to warm
-        # up on height-diverse folders, bit-exact always.
+        # up on height-diverse folders, bit-exact always. The opt-in
+        # effnet_bucket_heights trades exactness for bounded compiles:
+        # heights pad up to the bucket with edge-replicated rows (the
+        # stride phase stays fixed because the bucket is a multiple of
+        # the feature stride). Approximate EVERYWHERE, not just at the
+        # boundary: squeeze-excite global-pools the map, so pad rows
+        # nudge every pixel's SE scale (near-tie argmax pixels flip).
         self._exact_heights = not getattr(self.model.backbone,
                                           "supports_ragged", True)
+        self._bucketed_exact = self._exact_heights and bool(
+            getattr(self.config, "effnet_bucket_heights", False))
+        if self._bucketed_exact:
+            stride = getattr(self.model.backbone, "feature_stride", 32)
+            if self.config.height_bucket % stride:
+                raise ValueError(
+                    f"effnet_bucket_heights: height_bucket "
+                    f"{self.config.height_bucket} must be a multiple of "
+                    f"the backbone's feature stride {stride} (the "
+                    f"TF-SAME padding phase is only height-invariant on "
+                    f"stride multiples)")
+        # compile/eviction telemetry (cache_stats): exact-height
+        # backbones key the step cache on every distinct trimmed height,
+        # so folders can thrash the 64-entry bound — surfaced rather
+        # than silent (VERDICT r3 item 6)
+        self._cache_stats = {"step_compiles": 0, "step_evictions": 0,
+                             "rowop_evictions": 0}
         # device-resident cache of the per-height bicubic row operators
         # (see _row_op_dev); keyed (h, pad_h), bounded LRU-ish. The lock
         # serializes cache misses from concurrent pump workers — both for
@@ -127,6 +151,8 @@ class NeuralBarkCalculator:
 
     def _bucket_of(self, h: int) -> int:
         if self._exact_heights:
+            if self._bucketed_exact:
+                return pad_to_multiple(h, self.config.height_bucket)
             return h
         fixed = getattr(self.config, "fixed_pad_height", None)
         if fixed and h <= fixed:
@@ -140,7 +166,8 @@ class NeuralBarkCalculator:
 
     def predict(self, root_path: str, exclude_nodes: bool = False,
                 images: Sequence[ProcessedImage] | None = None,
-                progress: bool = True, resume: bool = False) -> str:
+                progress: bool = True, resume: bool = False,
+                shard: tuple[int, int] | None = None) -> str:
         """Predict every image under root/processed, writing results/
         artifacts (combined figures, dual PNGs, final_stats.csv). Returns
         the csv path.
@@ -156,6 +183,17 @@ class NeuralBarkCalculator:
         PNG + combined figure already exist are not recomputed — their CSV
         row is rebuilt from the dual mask on disk, so an interrupted folder
         run finishes with a complete final_stats.csv.
+
+        ``shard=(k, n)``: multi-host folder partitioning — this process
+        computes only manifest indices with ``i % n == k`` (round-robin
+        keeps height buckets balanced across hosts) and writes
+        ``final_stats.shard-k-of-n.csv`` (rows tagged with their manifest
+        order) instead of the final CSV; a merge pass
+        (pipeline/multihost.merge_shard_stats, run by process 0) stitches
+        the shard files into a final_stats.csv byte-identical to a
+        single-process run. Inference is per-image independent — sharding
+        by folder needs no cross-host collectives at all (SCALING.md),
+        so each process should build its engine over its LOCAL devices.
         """
         processed_path = os.path.join(root_path, "processed")
         results_dir = os.path.join(root_path, "results")
@@ -183,11 +221,18 @@ class NeuralBarkCalculator:
             def decode_chunk(idxs):
                 return [images[i] for i in idxs]
 
-        done = (self._scan_resume(names, reporter, results_dir)
-                if resume else set())
+        if shard is not None:
+            k, n = shard
+            if not (0 <= k < n):
+                raise ValueError(f"shard {k}/{n}: need 0 <= k < n")
+            mine = set(range(k, len(names), n))
+        else:
+            mine = None
+        done = (self._scan_resume(names, reporter, results_dir,
+                                  only=mine) if resume else set())
         chunks = self._plan_chunks(
             [(i, *size_of(i)) for i in range(len(names))
-             if i not in done])
+             if i not in done and (mine is None or i in mine)])
 
         bar = None
         if progress:
@@ -205,7 +250,7 @@ class NeuralBarkCalculator:
                 bar.update(1)
         if bar is not None:
             bar.close()
-        return reporter.finalize()
+        return reporter.finalize(shard=shard)
 
     def predict_images(self, images: Sequence[ProcessedImage],
                        exclude_nodes: bool = False,
@@ -233,14 +278,116 @@ class NeuralBarkCalculator:
                 exclude_nodes, prefetch=prefetch):
             yield (item, cmap, counts) if with_counts else (item, cmap)
 
+    def predict_streaming(self, root_path: str, stream,
+                          exclude_nodes: bool = False,
+                          total: int | None = None,
+                          progress: bool = True) -> str:
+        """Full-pipeline fusion: consume a live (manifest_idx,
+        ProcessedImage) stream — Preprocessor.preprocess_stream — and
+        feed the predict pump as images arrive, so BMP-folder end-to-end
+        runs at ~max(preprocess, predict) instead of their sum, with
+        bounded memory: at most (open buckets x batch_size) decoded
+        images buffered in the planner plus `prefetch` chunks in flight
+        (the non-streaming path first materializes the WHOLE folder's
+        ProcessedImages). CSV rows land in manifest order via the
+        stream's indices — identical output to the sequential path.
+        """
+        import queue as _queue
+
+        results_dir = os.path.join(root_path, "results")
+        reporter = PredictReporter(results_dir, dpi=self.config.figure_dpi,
+                                   mm_per_pix=self.config.mm_per_pix,
+                                   renderer=getattr(self.config,
+                                                    "renderer", "fast"))
+        bs = self.config.batch_size
+        # maxsize bounds RSS: the planner blocks once the pump is
+        # `prefetch`+queue chunks behind the preprocessor
+        chunk_q: _queue.Queue = _queue.Queue(
+            maxsize=max(2, getattr(self.config, "prefetch", 2)))
+        items_by_idx: dict[int, ProcessedImage] = {}
+        items_lock = threading.Lock()
+        planner_err: list[BaseException] = []
+
+        def planner() -> None:
+            pending: dict[tuple[int, int], list[int]] = {}
+            try:
+                for idx, item in stream:
+                    with items_lock:
+                        items_by_idx[idx] = item
+                    key = (self._bucket_of(item.image.shape[0]),
+                           item.image.shape[1])
+                    group = pending.setdefault(key, [])
+                    group.append(idx)
+                    if len(group) == bs:
+                        chunk_q.put((key[0], pending.pop(key)))
+                for (pad_h, _w), idxs in sorted(pending.items()):
+                    chunk_q.put((pad_h, idxs))
+            except BaseException as e:  # surfaced by the consumer
+                planner_err.append(e)
+            finally:
+                chunk_q.put(None)
+
+        def take_items(idxs):
+            with items_lock:
+                return [items_by_idx.pop(i) for i in idxs]
+
+        def chunk_iter():
+            while True:
+                c = chunk_q.get()
+                if c is None:
+                    if planner_err:
+                        raise planner_err[0]
+                    return
+                yield c
+
+        t = threading.Thread(target=planner, daemon=True)
+        t.start()
+        chunks = chunk_iter()
+        if self._quantize_pending:
+            # int8 calibration needs real pixels before the first step:
+            # peek the first chunk off the live iterator, calibrate on
+            # it, then chain it back in front
+            import itertools
+            first = next(chunks, None)
+            if first is not None:
+                # non-destructive lookup: the pump's take_items will pop
+                # these same indices later
+                self._calibrate_quantize(
+                    [first], lambda idxs: [items_by_idx[i] for i in idxs])
+                chunks = itertools.chain([first], chunks)
+
+        bar = None
+        if progress and total:
+            try:
+                from tqdm import tqdm
+                bar = tqdm(total=total, ascii=True,
+                           desc="Predicted images")
+            except ImportError:  # pragma: no cover
+                pass
+        for idx, item, cmap, counts3 in self._run_chunks(
+                chunks, take_items, exclude_nodes):
+            reporter.add(item.image, cmap, item.fname, item.wood_type,
+                         order=idx, counts3=counts3)
+            if bar is not None:
+                bar.update(1)
+        t.join()
+        if bar is not None:
+            bar.close()
+        return reporter.finalize()
+
     # --------------------------------------------------- unified engine
 
     def _scan_resume(self, names: list[tuple[str, str]], reporter,
-                     results_dir: str) -> set[int]:
+                     results_dir: str,
+                     only: set[int] | None = None) -> set[int]:
         """Rebuild CSV rows for images whose dual PNG + combined figure
-        already exist on disk; returns their indices (to skip)."""
+        already exist on disk; returns their indices (to skip). ``only``
+        restricts the scan to this process's shard (a resumed shard run
+        must not pull other shards' rows into its CSV)."""
         done: set[int] = set()
         for i, (fname, wood_type) in enumerate(names):
+            if only is not None and i not in only:
+                continue
             dual_path = os.path.join(results_dir, "outputs", wood_type,
                                      fname)
             fig_path = os.path.join(results_dir, "combined_images",
@@ -291,7 +438,7 @@ class NeuralBarkCalculator:
         if prefetch is None:
             prefetch = getattr(self.config, "prefetch", 2)
         prefetch = max(1, prefetch)
-        if self._quantize_pending and chunks:
+        if self._quantize_pending and isinstance(chunks, list) and chunks:
             # lazy int8 calibration decodes a prefix of chunk 0 before the
             # pump starts; memoize those decodes so the pump's own pass
             # over chunk 0 reuses them instead of re-reading the files
@@ -356,13 +503,28 @@ class NeuralBarkCalculator:
 
         with ThreadPoolExecutor(max_workers=8) as pool, \
                 ThreadPoolExecutor(max_workers=2) as upload_pool:
-            futs = {j: pool.submit(pump_one, *chunks[j])
-                    for j in range(min(prefetch, len(chunks)))}
-            for j, (pad_h, idxs) in enumerate(chunks):
-                items, valid_h, out = futs.pop(j).result()
-                if j + prefetch < len(chunks):
-                    futs[j + prefetch] = pool.submit(
-                        pump_one, *chunks[j + prefetch])
+            # windowed pump over a chunk source that may be a list OR a
+            # live iterator (the streaming full-pipeline path feeds
+            # chunks as the preprocessor produces them): keep `prefetch`
+            # in flight, consume in submission order
+            it = iter(chunks)
+            window: deque = deque()
+
+            def submit_next() -> bool:
+                try:
+                    pad_h, idxs = next(it)
+                except StopIteration:
+                    return False
+                window.append((idxs, pool.submit(pump_one, pad_h, idxs)))
+                return True
+
+            for _ in range(prefetch):
+                if not submit_next():
+                    break
+            while window:
+                idxs, fut = window.popleft()
+                items, valid_h, out = fut.result()
+                submit_next()
                 yield from self._finish_batch_raw(exclude_nodes, idxs,
                                                   items, valid_h, out)
 
@@ -427,17 +589,22 @@ class NeuralBarkCalculator:
 
     def _pad_group(self, items: Sequence[ProcessedImage],
                    pad_h: int) -> np.ndarray:
-        """Assemble [n, pad_h, w, 3] uint8 from trimmed images, zeroing
-        only the pad rows (the zero-beyond-valid_h invariant the ragged
-        machinery relies on) — np.zeros of a whole 24 MB chunk buffer is
-        measurable host time for a few hundred KB of actual padding."""
+        """Assemble [n, pad_h, w, 3] uint8 from trimmed images, filling
+        only the pad rows (np.zeros of a whole 24 MB chunk buffer is
+        measurable host time for a few hundred KB of actual padding).
+        Fill is zeros on the ragged path (the zero-beyond-valid_h
+        invariant the masking machinery relies on) and edge replication
+        on the effnet_bucket_heights path (zeros would be a hard dark
+        edge feeding real conv taps; replicating the last content row is
+        the least-surprising approximate boundary)."""
         w = items[0].image.shape[1]
+        edge = self._bucketed_exact
         buf = np.empty((len(items), pad_h, w, 3), np.uint8)
         for i, item in enumerate(items):
             h = item.image.shape[0]
             buf[i, :h] = item.image
             if h < pad_h:
-                buf[i, h:] = 0
+                buf[i, h:] = item.image[h - 1:h] if edge else 0
         return buf
 
     def _padded_batch(self, n: int) -> int:
@@ -493,10 +660,17 @@ class NeuralBarkCalculator:
             assert n_pad == n and dev_batch.shape[0] == n
 
         if self._exact_heights:
-            # every item in the bucket has exactly this height (the
-            # planner buckets by true height on this path): no masks or
-            # embedded row operators needed, plain forward is exact
-            assert all(it.image.shape[0] == pad_h for it in items)
+            # plain forward, no masks or embedded row operators. Default:
+            # every item has exactly this height (the planner buckets by
+            # true height), bit-exact. effnet_bucket_heights: items are
+            # edge-padded up to the bucket (approximate near the trim
+            # boundary); valid_h carries true heights so the postprocess
+            # zeroes/ignores the pad rows.
+            if self._bucketed_exact:
+                for i, item in enumerate(items):
+                    valid_h[i] = item.image.shape[0]
+            else:
+                assert all(it.image.shape[0] == pad_h for it in items)
             with stage_timer(f"predict/dispatch_h{pad_h}"):
                 if dev_batch is None:
                     dev_batch = jax.device_put(batch,
@@ -550,6 +724,7 @@ class NeuralBarkCalculator:
                 if len(self._rowop_cache) >= 128:  # bound HBM: 128x512 KB
                     self._rowop_cache.pop(next(iter(self._rowop_cache)),
                                           None)
+                    self._cache_stats["rowop_evictions"] += 1
                 self._rowop_cache[key] = op
         return op
 
@@ -599,11 +774,33 @@ class NeuralBarkCalculator:
                 if fn is None:
                     fn = self._build_device_step(pad_h, batch, exact,
                                                  pack)
+                    self._cache_stats["step_compiles"] += 1
                     if len(self._step_cache) >= 64:
                         self._step_cache.pop(
                             next(iter(self._step_cache)), None)
+                        self._cache_stats["step_evictions"] += 1
+                        if self._cache_stats["step_evictions"] == 1:
+                            import warnings
+                            warnings.warn(
+                                "predict step cache exceeded 64 compiled "
+                                "programs and is evicting (recurring "
+                                "shapes now recompile, tens of seconds "
+                                "each). Height-diverse EfficientNet "
+                                "folders hit this by design — set "
+                                "PredictConfig.effnet_bucket_heights "
+                                "(approximate) to bound compiles; see "
+                                "cache_stats().", RuntimeWarning,
+                                stacklevel=3)
                     self._step_cache[key] = fn
         return fn
+
+    def cache_stats(self) -> dict:
+        """Compile/eviction telemetry for the jitted-step and row-operator
+        caches: ``step_compiles`` counts distinct (pad_h, batch, exact,
+        pack) programs built; nonzero ``step_evictions`` means the 64-entry
+        bound was hit and recurring shapes now recompile (cache thrash —
+        the first eviction also warns)."""
+        return dict(self._cache_stats)
 
     def _build_device_step(self, pad_h: int, batch: int, exact: bool,
                            pack: bool):

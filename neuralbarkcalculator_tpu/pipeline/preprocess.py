@@ -183,7 +183,34 @@ class Preprocessor:
             if not records:
                 return []
         results: list[ProcessedImage | None] = [None] * len(records)
+        for idx, item in self._stream_records(records, output_dir, save,
+                                              progress):
+            results[idx] = item
+        return results  # type: ignore[return-value]
 
+    def preprocess_stream(self, root_path: str, save: bool = True,
+                          progress: bool = False, resume: bool = False):
+        """Streaming twin of preprocess_images: yields (manifest_idx,
+        ProcessedImage) as each image finishes, without materializing the
+        folder (the full-pipeline fusion path —
+        NeuralBarkCalculator.predict_streaming consumes this directly so
+        preprocess and predict overlap). Same semantics, same PNG
+        side-effects; completion order may differ from manifest order
+        (the index carries the order)."""
+        records = make_dataset(root_path)
+        output_dir = os.path.join(root_path, "processed")
+        if resume:
+            records = [
+                r for r in records
+                if not os.path.isfile(os.path.join(
+                    output_dir, "samples", r.wood_type, r.fname))]
+        yield from self._stream_records(records, output_dir, save,
+                                        progress)
+
+    def _stream_records(self, records, output_dir: str, save: bool,
+                        progress: bool):
+        """Backend dispatch: yields (index-into-records, ProcessedImage)
+        in completion order; PNG saves drain before the generator ends."""
         if self._resolve_backend() == "host":
             # decode+resize+trim run per image on the thread pool
             # (scipy/numpy release the GIL, so compute parallelizes on
@@ -211,16 +238,16 @@ class Preprocessor:
                     if idx + window < len(records):
                         futures.append(
                             pool.submit(process, records[idx + window]))
-                    results[idx] = ProcessedImage(processed, rec.fname,
-                                                  rec.wood_type)
                     if save:
                         path = os.path.join(output_dir, "samples",
                                             rec.wood_type, rec.fname)
                         save_futures.append(
                             pool.submit(save_image_u8, path, processed))
+                    yield idx, ProcessedImage(processed, rec.fname,
+                                              rec.wood_type)
                 for fut in save_futures:
                     fut.result()
-            return results  # type: ignore[return-value]
+            return
 
         # Device backend. Two executors: decodes + PNG saves share the IO
         # pool with a bounded look-ahead window (a bare pool.map would
@@ -260,16 +287,18 @@ class Preprocessor:
             pending: deque = deque()
 
             def finish(keyed, launched):
+                done = []
                 for (idx, rec), processed in zip(
                         keyed, self._finish_shape_batch(launched)):
                     item = ProcessedImage(processed, rec.fname,
                                           rec.wood_type)
-                    results[idx] = item
                     if save:
                         path = os.path.join(output_dir, "samples",
                                             rec.wood_type, rec.fname)
                         save_futures.append(
                             pool.submit(save_image_u8, path, processed))
+                    done.append((idx, item))
+                return done
 
             for group in _shape_batches(iterator, self.batch_size):
                 keyed, imgs = zip(*group)
@@ -277,13 +306,12 @@ class Preprocessor:
                     self._launch_shape_batch, imgs)))
                 if len(pending) >= 2:
                     keyed_done, fut = pending.popleft()
-                    finish(keyed_done, fut.result())
+                    yield from finish(keyed_done, fut.result())
             while pending:
                 keyed_done, fut = pending.popleft()
-                finish(keyed_done, fut.result())
+                yield from finish(keyed_done, fut.result())
             for fut in save_futures:
                 fut.result()
-        return results  # type: ignore[return-value]
 
     def preprocess_one(self, img: np.ndarray) -> np.ndarray:
         """Preprocess a single in-memory uint8 [h, w, 3] image (serving

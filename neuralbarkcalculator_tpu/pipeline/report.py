@@ -141,6 +141,11 @@ def write_final_stats(rows: list[list[str]], out_path: str) -> None:
         writer.writerows(rows)
 
 
+def shard_stats_name(k: int, n: int) -> str:
+    """Per-shard CSV filename for shard k of n (multi-host folder runs)."""
+    return f"final_stats.shard-{k:04d}-of-{n:04d}.csv"
+
+
 class PredictReporter:
     """Collects per-image results and writes all three artifact kinds,
     offloading figure/PNG encoding to a thread pool."""
@@ -203,10 +208,31 @@ class PredictReporter:
         self._order += 1
         return percents
 
-    def finalize(self) -> str:
+    def finalize(self, shard: tuple[int, int] | None = None) -> str:
+        """Write the CSV (and surface any render-worker exception).
+
+        With ``shard=(k, n)`` the rows go to a per-shard file
+        ``final_stats.shard-k-of-n.csv`` whose rows carry a leading
+        manifest-order column (the merge key); the write is atomic
+        (tmp + rename) so the merging process never reads a partial
+        file. pipeline/multihost.merge_shard_stats turns n shard files
+        into the final_stats.csv a single-process run would have
+        written, byte for byte.
+        """
         for fut in self._futures:
             fut.result()  # surface any worker exception
         self._pool.shutdown()
-        out = os.path.join(self.results_dir, "final_stats.csv")
-        write_final_stats([r for _, r in sorted(self._rows)], out)
+        if shard is None:
+            out = os.path.join(self.results_dir, "final_stats.csv")
+            write_final_stats([r for _, r in sorted(self._rows)], out)
+            return out
+        k, n = shard
+        out = os.path.join(self.results_dir,
+                           shard_stats_name(k, n))
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            writer = csv.writer(f, delimiter="\t")
+            for order, row in sorted(self._rows):
+                writer.writerow([order] + row)
+        os.replace(tmp, out)  # atomic: mergers only ever see whole files
         return out

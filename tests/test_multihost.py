@@ -30,3 +30,19 @@ def test_two_process_pjit_matches_single_process():
         env=env, capture_output=True, text=True, timeout=360)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "MULTIHOST DRYRUN OK" in out.stdout
+
+
+def test_two_process_folder_predict_matches_single_process():
+    """Sharded folder inference across 2 jax.distributed processes:
+    merged final_stats.csv must be byte-identical to single-process
+    (VERDICT r3 item 5; the in-process shard/merge tests run in the
+    fast suite, tests/test_multihost_predict.py)."""
+    tool = Path(__file__).resolve().parents[1] / "tools" / \
+        "multihost_predict_dryrun.py"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    out = subprocess.run(
+        [sys.executable, "-u", str(tool), "--port", "29533"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "MULTIHOST PREDICT DRYRUN OK" in out.stdout
