@@ -48,13 +48,28 @@ def build_parser() -> argparse.ArgumentParser:
                              "resnet50/101 state_dict (.pth/.pt/.npz) — "
                              "the reference's pretrained=True "
                              "(models.py:127-130)")
-    parser.add_argument("--loss", type=str, default="lovasz",
+    parser.add_argument("--loss", type=str, default=None,
                         choices=["lovasz", "lovasz_hist", "cwe", "mixed",
                                  "jaccard"],
-                        help="lovasz = exact sort (reference parity); "
-                             "lovasz_hist = sort-free histogram TPU fast "
-                             "path (~5x cheaper loss, tie-averaged "
-                             "subgradient)")
+                        help="lovasz = exact sort (reference parity, the "
+                             "default); lovasz_hist = sort-free "
+                             "histogram TPU fast path (~5x cheaper loss, "
+                             "tie-averaged subgradient). An explicit "
+                             "choice overrides --tpu-native-recipe")
+    parser.add_argument("--tpu-native-recipe", dest="tpu_native_recipe",
+                        action="store_true", default=False,
+                        help="the measured-fastest training recipe on "
+                             "TPU: lovasz_hist (sort-free histogram "
+                             "Lovasz, ~exact value, tie-averaged "
+                             "subgradient) + bfloat16 conv stack — "
+                             "169 -> 111 ms/step at the reference shapes "
+                             "(docs/SCALING.md). The remaining gap to "
+                             "the conv floor is the dropout layout "
+                             "cliff, closed as unfixable on current "
+                             "XLA:TPU after three rounds of probes "
+                             "(benchmarks/dropout_cliff_r4.json). "
+                             "Checkpoints remain fully compatible; "
+                             "explicit --loss/--bf16 flags win")
     parser.add_argument("--monitor", type=str, default=None,
                         help="val_miou (code default, __main__.py:241) or "
                              "val_f1 (README-described selection)")
@@ -91,6 +106,11 @@ def main(args: argparse.Namespace) -> None:
         config.samples_per_epoch_factor = args.samples_factor
     if args.backbone_ckpt is not None:
         config.backbone_ckpt = args.backbone_ckpt
+    if args.tpu_native_recipe:
+        # promoted TPU-fast defaults; an explicit --loss choice wins
+        config.use_bfloat16 = True
+    loss_name = args.loss or (
+        "lovasz_hist" if args.tpu_native_recipe else "lovasz")
     if args.bf16:
         config.use_bfloat16 = True
 
@@ -98,7 +118,7 @@ def main(args: argparse.Namespace) -> None:
                                              "1024_with_jedi")
     exp = Experiment(data_dir, os.path.join(args.root_dir, "moar"),
                      config=config, model_name=args.model,
-                     loss_name=args.loss, monitor=args.monitor)
+                     loss_name=loss_name, monitor=args.monitor)
     exp.train(resume=args.resume)
     exp.test()
     try:

@@ -28,10 +28,13 @@ def test_train_parser_reference_flags():
     args = p.parse_args(["/some/root"])
     assert args.root_dir == "/some/root"
     assert args.seed == 42  # __main__.py:484-487
-    assert args.loss == "lovasz"
+    assert args.loss is None  # resolves to "lovasz" (reference parity)
+    assert args.tpu_native_recipe is False
     args = p.parse_args(["/r", "--seed", "7", "--loss", "cwe",
                          "--monitor", "val_f1"])
     assert args.seed == 7 and args.loss == "cwe"
+    args = p.parse_args(["/r", "--tpu-native-recipe"])
+    assert args.tpu_native_recipe and args.loss is None
 
 
 def test_config_defaults_match_reference():

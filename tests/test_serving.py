@@ -416,3 +416,23 @@ def test_http_health_stats_errors(server):
     c.request("POST", "/v1/predict")  # no body
     assert c.getresponse().status == 400
     c.close()
+
+
+@pytest.mark.slow
+def test_serving_soak_short(calc):
+    """45 s soak (tools/serving_soak.py drives the 10-minute production
+    variant): flat RSS, zero errors, telemetry adds up, batching engages
+    under concurrent load. Small shapes keep the CPU-mesh step fast."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from serving_soak import run_soak
+
+    report = run_soak(calc, seconds=45.0, clients=4,
+                      heights=(64, 96, 128), widths=(64,),
+                      max_wait_ms=10.0, rss_tolerance=0.15)
+    assert report["served"] > 50
+    assert report["errors"] == 0
+    assert report["mean_batch"] > 1.0
