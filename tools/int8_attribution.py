@@ -128,8 +128,15 @@ def attribute(calc, batch: int, h: int = 1024, w: int = 1024) -> dict:
     p2 = jax.jit(lambda v, b, s: scalar(head_logits(v, b, s)))
     step3 = calc._device_step(h, batch, pack=False)
     step4 = calc._device_step(h, batch, pack=True)
-    p3 = jax.jit(lambda v, b, s, r: scalar(step3(v, b, s, r)))
-    p4 = jax.jit(lambda v, b, s, r: scalar(step4(v, b, s, r)))
+    # The engine step is already a top-level jit carrying its own
+    # compiler_options (scoped VMEM for the Pallas kernel) — it cannot be
+    # nested inside another jit. Scalarize with a SECOND tiny dispatch
+    # instead: the uint8 outputs are 8-32 MB (not the 384 MB f32 of
+    # P0-P2), the sum never leaves the device, and the extra dispatch is
+    # identical across K so it cancels in the differencing.
+    sum_dev = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    p3 = lambda v, b, s, r: sum_dev(step3(v, b, s, r))
+    p4 = lambda v, b, s, r: sum_dev(step4(v, b, s, r))
 
     rows = {}
     rows["P0_normalize_ms"] = time_fn(p0, (variables, dev, vh))
