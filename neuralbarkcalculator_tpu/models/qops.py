@@ -52,10 +52,25 @@ def requant_relu(acc_i32: jax.Array, m: jax.Array,
     return jnp.clip(jnp.round(y), 0, 127).astype(jnp.int8)
 
 
+def requant_signed(acc_i32: jax.Array, m: jax.Array,
+                   b: jax.Array) -> jax.Array:
+    """Fused epilogue without ReLU: requantize a residual-branch
+    accumulator to int8 in the consumer's scale units (values may be
+    negative, so the clip is symmetric). Exists so the downsample branch
+    of a bottleneck block spills int8 to HBM: the residual add has TWO
+    conv producers and XLA fuses the add epilogue into only one of them
+    — whatever the other one writes is materialized, and a raw s32
+    accumulator is 4x the bytes (measured: 9.2 GB/step of s32 spills at
+    batch 32, benchmarks/int8_hlo_diag.json)."""
+    y = acc_i32.astype(jnp.float32) * m + b
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
 def dequant(acc_i32: jax.Array, m: jax.Array, b: jax.Array) -> jax.Array:
-    """Dequantize an accumulator to real units (f32): acc * (s_in*s_w) +
-    bias. Used where the consumer is not a quantized conv (residual adds,
-    final logits)."""
+    """Affine epilogue to f32: acc * m + b. With m = s_in*s_w this is a
+    dequant to real units (final logits); the bottleneck blocks pass
+    m/b pre-divided by s_out so the result lands directly in the block's
+    output-scale units (see resnet.py::_quantized_forward)."""
     return acc_i32.astype(jnp.float32) * m + b
 
 

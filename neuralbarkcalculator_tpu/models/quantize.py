@@ -32,12 +32,18 @@ from .fold import fold_model
 
 _EPS = 1e-6  # floor for calibrated scales (dead tensors/channels)
 
-# Offline-quantized checkpoint format: this magic prefix, then the flax
-# msgpack of the quantized {'params'} tree. The prefix lets loaders
-# distinguish int8 checkpoints from plain ones BEFORE deserializing
-# (msgpack needs the right template), so the predict engine can skip
-# BN folding and first-chunk calibration entirely.
-QCKPT_MAGIC = b"NBCQINT8\x00"
+# Offline-quantized checkpoint format: this magic prefix (8-byte tag +
+# 1 version byte), then the flax msgpack of the quantized {'params'}
+# tree. The prefix lets loaders distinguish int8 checkpoints from plain
+# ones BEFORE deserializing (msgpack needs the right template), so the
+# predict engine can skip BN folding and first-chunk calibration
+# entirely. Version history:
+#   \x00  f32 residual adds (dequant to real units, inv_s_out rescale)
+#   \x01  residual math in s_out units (conv3/downsample m/b divided by
+#         s_out, s_ratio instead of s_in+inv_s_out) — halves HBM spills,
+#         see models/resnet.py::_quantized_forward
+QCKPT_TAG = b"NBCQINT8"
+QCKPT_MAGIC = QCKPT_TAG + b"\x01"
 
 
 def calibrate(model, variables: Mapping[str, Any],
@@ -99,10 +105,14 @@ def quantize_variables(folded_variables: Mapping[str, Any], stats: dict,
         _quantize_conv(out, scope, params[scope + ("kernel",)],
                        params[scope + ("bias",)], s_in, s_next)
 
-    s_img = scale("backbone", "q_in")
-    out[("backbone", "inv_s_in")] = np.float32(1.0 / s_img)
+    # stem stays bf16 (resnet.py: C_in=3 starves the int8 MXU depth
+    # lanes) — copy the folded conv verbatim, quantize after the pool
     s_prev = scale("backbone", "q_stem")
-    conv(("backbone", "conv1"), s_img, s_prev)
+    out[("backbone", "conv1", "kernel")] = np.asarray(
+        params[("backbone", "conv1", "kernel")], np.float32)
+    out[("backbone", "conv1", "bias")] = np.asarray(
+        params[("backbone", "conv1", "bias")], np.float32)
+    out[("backbone", "inv_s_stem")] = np.float32(1.0 / s_prev)
 
     inplanes = 64
     for stage, num_blocks in enumerate(stage_sizes):
@@ -119,12 +129,13 @@ def quantize_variables(folded_variables: Mapping[str, Any], stats: dict,
             s_out = scale(*bscope, "q_out")
             conv(bscope + ("conv1",), s_prev, s_t1)
             conv(bscope + ("conv2",), s_t1, s_t2)
-            conv(bscope + ("conv3",), s_t2, None)
+            # conv3 + downsample requantize to s_out units so the whole
+            # residual add runs there (resnet.py::_quantized_forward)
+            conv(bscope + ("conv3",), s_t2, s_out)
             if block == 0 and (stride != 1 or inplanes != planes * 4):
-                conv(bscope + ("downsample_conv",), s_prev, None)
+                conv(bscope + ("downsample_conv",), s_prev, s_out)
             else:
-                out[bscope + ("s_in",)] = np.float32(s_prev)
-            out[bscope + ("inv_s_out",)] = np.float32(1.0 / s_out)
+                out[bscope + ("s_ratio",)] = np.float32(s_prev / s_out)
             s_prev = s_out
             inplanes = planes * 4
 
@@ -203,7 +214,7 @@ def is_quantized_checkpoint(path: str) -> bool:
     if not os.path.isfile(path):
         return False
     with open(path, "rb") as f:
-        return f.read(len(QCKPT_MAGIC)) == QCKPT_MAGIC
+        return f.read(len(QCKPT_TAG)) == QCKPT_TAG
 
 
 def load_quantized(path: str, model_name: str = "fcn_resnet50"):
@@ -225,8 +236,16 @@ def load_quantized(path: str, model_name: str = "fcn_resnet50"):
                            jnp.zeros((1, 64, 64, 3), jnp.float32),
                            train=False)
     with open(path, "rb") as f:
-        if f.read(len(QCKPT_MAGIC)) != QCKPT_MAGIC:
+        prefix = f.read(len(QCKPT_MAGIC))
+        if prefix[:len(QCKPT_TAG)] != QCKPT_TAG:
             raise ValueError(f"{path!r} is not an int8 checkpoint "
                              "(missing NBCQINT8 prefix)")
+        if prefix != QCKPT_MAGIC:
+            raise ValueError(
+                f"{path!r} is int8 checkpoint version "
+                f"{prefix[len(QCKPT_TAG):]!r}, this runtime reads "
+                f"{QCKPT_MAGIC[len(QCKPT_TAG):]!r} — re-export it with "
+                "tools/quantize_checkpoint.py from the original "
+                "f32 checkpoint")
         qvars = flax.serialization.from_bytes(template, f.read())
     return qmodel, qvars

@@ -125,7 +125,21 @@ class Bottleneck(nn.Module):
     def _quantized_forward(self, x_q, valid_h):
         """int8 path: x_q int8 at scale s_in -> int8 at scale s_out.
         Parameter layout is produced by models/quantize.py; m/b arrays
-        carry the combined requant multipliers (see models/qops.py)."""
+        carry the combined requant multipliers (see models/qops.py).
+
+        All residual arithmetic happens in s_out units: conv3's epilogue
+        (m = s_t2*s_w/s_out, b = bias/s_out) fuses the dequant, the
+        identity add, the ReLU, and the output round/clip into the conv,
+        and the downsample branch requantizes its own accumulator to int8
+        in the SAME s_out units. That second point is the load-bearing
+        one: the residual add has two conv producers, XLA fuses its
+        epilogue into only one, and the other branch's output spills to
+        HBM — as int8 it spills 1 byte/element instead of the 4-byte raw
+        s32 accumulator (9.2 GB/step of s32 at batch 32 before this
+        layout, benchmarks/int8_hlo_diag.json). The extra rounding of
+        the downsample branch (one int8 quantization at s_out, the scale
+        the block output is about to be quantized to anyway) is the only
+        numeric difference vs the f32-residual formulation."""
         from . import qops
 
         def qp(name, shape, dtype=jnp.float32):
@@ -140,18 +154,19 @@ class Bottleneck(nn.Module):
                          self.stride, self.dilation)
         t2 = qops.requant_relu(acc, qp("conv2_m", (p,)), qp("conv2_b", (p,)))
         acc = qops.qconv(t2, qp("conv3_q", (1, 1, p, p4), jnp.int8))
+        # main branch in s_out units (m/b already divided by s_out)
         out = qops.dequant(acc, qp("conv3_m", (p4,)), qp("conv3_b", (p4,)))
 
         if self.has_downsample:
             acc = qops.qconv(x_q, qp("downsample_conv_q", (1, 1, cin, p4),
                                      jnp.int8), self.stride)
-            identity = qops.dequant(acc, qp("downsample_conv_m", (p4,)),
-                                    qp("downsample_conv_b", (p4,)))
+            identity = qops.requant_signed(
+                acc, qp("downsample_conv_m", (p4,)),
+                qp("downsample_conv_b", (p4,))).astype(jnp.float32)
         else:
-            identity = x_q.astype(jnp.float32) * qp("s_in", ())
+            identity = x_q.astype(jnp.float32) * qp("s_ratio", ())
         out = nn.relu(out + identity)
-        return jnp.clip(jnp.round(out * qp("inv_s_out", ())),
-                        0, 127).astype(jnp.int8)
+        return jnp.clip(jnp.round(out), 0, 127).astype(jnp.int8)
 
 
 class _S2DStemConv(nn.Module):
@@ -236,17 +251,16 @@ class DilatedResNet(nn.Module):
         # The raw input is zero below valid_h by construction (host pads
         # with zeros), so the stem conv needs no input mask.
         if self.quantized:
-            from . import qops
-            # f32 normalized input -> int8 at the calibrated input scale
-            # (zeros map to zero, preserving the ragged padding invariant)
-            x = qops.quantize_act(
-                x, self.param("inv_s_in", nn.initializers.ones, ()))
-            acc = qops.qconv(x, self.param("conv1_q", nn.initializers.zeros,
-                                           (7, 7, 3, 64), jnp.int8),
-                             stride=2)
-            x = qops.requant_relu(
-                acc, self.param("conv1_m", nn.initializers.zeros, (64,)),
-                self.param("conv1_b", nn.initializers.zeros, (64,)))
+            # The stem stays bf16 (same folded conv1 kernel+bias layout as
+            # the bf16+fold path): with C_in=3 an int8 stem packs 3 of the
+            # MXU's 32 depth lanes and measured SLOWER than bf16 (0.466 vs
+            # 0.385 ms/img at b32, benchmarks/int8_backbone_stages.json).
+            # Quantization happens after the max pool below, where the
+            # tensor is 64-deep and 4x smaller.
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=[(3, 3), (3, 3)], use_bias=True,
+                        dtype=jnp.bfloat16, name="conv1")(x)
+            x = nn.relu(x)
         else:
             if self.folded:  # calibration point; gated so plain
                 # model.init never emits a quant_stats collection
@@ -276,6 +290,13 @@ class DilatedResNet(nn.Module):
                         padding=[(1, 1), (1, 1)])
         if h is not None:
             h = conv_out_size(h, 3, 2, 1)
+        if self.quantized:
+            from . import qops
+            # int8 entry point: the pool is a spatial max of post-ReLU
+            # (>= 0) values, so quantizing after it equals quantizing
+            # before it at the same scale; masked rows stay exactly zero.
+            x = qops.quantize_act(
+                x, self.param("inv_s_stem", nn.initializers.ones, ()))
 
         inplanes = 64
         dilation = 1

@@ -177,6 +177,20 @@ def test_quantize_rejections():
         quantize_model(model, {"params": variables["params"]}, [x])
 
 
+def test_old_version_checkpoint_rejected(tmp_path):
+    """A v0 int8 checkpoint (f32-residual parameter layout) is detected
+    as an int8 file but refused with a re-export pointer — silently
+    loading it under the v1 (s_out-units) math would be wrong."""
+    from neuralbarkcalculator_tpu.models.quantize import (
+        QCKPT_TAG, is_quantized_checkpoint, load_quantized)
+
+    old = tmp_path / "old.int8.msgpack"
+    old.write_bytes(QCKPT_TAG + b"\x00" + b"not-real-msgpack")
+    assert is_quantized_checkpoint(str(old))
+    with pytest.raises(ValueError, match="re-export"):
+        load_quantized(str(old))
+
+
 def test_predict_engine_int8(tmp_path):
     """End-to-end: quantize_int8=True calibrates on the first chunk,
     swaps to the int8 model, and yields valid class maps for a ragged

@@ -17,8 +17,10 @@ one host pull of the last output" for two K values and reports
 (T_K2 - T_K1) / (K2 - K1): the device executes programs in submission
 order, so the difference is pure per-step device time with the pull/RTT
 cancelled. On a co-located host the same arithmetic is simply a
-steady-state average. best-of-R samples is the row value; the samples
-ship in the JSON so the spread is on the record.
+steady-state average. The MEDIAN of R samples is the row value (min
+would track deflating transients: a stall inside the short T_K1 run
+shrinks the difference); the samples ship in the JSON so the spread is
+on the record.
 
 FLOPs come from XLA ``cost_analysis()`` of the very program being timed
 (compiled server-side; the analysis reflects the optimized HLO). MFU is
@@ -59,7 +61,7 @@ def build_engine(model_path: str, int8: bool, batch: int):
 
 def measure(calc, batch: int, h: int = 1024, w: int = 1024,
             k1: int = 4, k2: int = 24, samples: int = 3):
-    """(ms_per_batch best, [samples...], flops_per_batch or None)."""
+    """(ms_per_batch median, [samples...], flops_per_batch or None)."""
     import jax
     import jax.numpy as jnp
 
@@ -101,7 +103,11 @@ def measure(calc, batch: int, h: int = 1024, w: int = 1024,
     run(2)  # reach steady state before sampling
     vals = sorted(1e3 * (run(k2) - run(k1)) / (k2 - k1)
                   for _ in range(samples))
-    return vals[0], vals, flops
+    # median, not min: differencing can deflate as well as inflate (a
+    # transient stall inside the short T_k1 run shrinks the difference —
+    # observed producing an impossible 97.7%-MFU row), and the median of
+    # R tolerates one outlier in either direction. All samples ship.
+    return vals[len(vals) // 2], vals, flops
 
 
 def main() -> None:
@@ -144,7 +150,7 @@ def main() -> None:
     payload = {
         "tool": "tools/inference_step_bench.py",
         "protocol": ("dispatch differencing (T_K2-T_K1)/(K2-K1), K=4/24, "
-                     "best of N samples (all samples recorded); exact "
+                     "median of N samples (all samples recorded); exact "
                      "engine _device_step: normalize + forward + fused "
                      "Pallas upsample/argmax + 2-bit pack, 1024x1024, "
                      "trained bench model, device-resident inputs"),

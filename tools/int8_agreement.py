@@ -1,0 +1,126 @@
+"""Reproducible int8-vs-bf16 accuracy measurement on the bench folder.
+
+docs/SCALING.md quotes a pixel-agreement figure for the int8 mode; this
+tool is its committed generator (the round-3 number was measured ad hoc
+and left no tool behind — same provenance gap VERDICT r3 flagged for
+the MFU table). It renders the 16-image structured bench folder
+(tools/bench_data.py, the same content bench.py uses), runs the
+production engine twice (bf16+fold and int8) on the trained bench
+model, and reports:
+
+- per-image and overall pixel agreement between the two class maps
+  (post upsample/argmax, pre postprocess — the tensors the engines
+  actually produce);
+- mIoU of EACH config against the generated ground-truth duals, so the
+  agreement number has an accuracy anchor: int8 must not just agree
+  with bf16, it must segment equally well.
+
+Writes benchmarks/int8_agreement.json.
+Run: python tools/int8_agreement.py [--batch 8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import numpy as np
+
+N_IMAGES = 16
+HEIGHTS = (896, 960, 1024)  # bench.py's mixed trimmed heights
+
+
+def build_items():
+    from bench_data import structured_dual_mask, structured_image
+
+    from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
+
+    rng = np.random.default_rng(0)
+    items, masks = [], []
+    for i in range(N_IMAGES):
+        h = HEIGHTS[i % len(HEIGHTS)]
+        mask = structured_dual_mask(rng, h, 1024)
+        items.append(ProcessedImage(structured_image(rng, mask),
+                                    f"img{i:02d}.png", "sapin"))
+        masks.append(mask)
+    return items, masks
+
+
+def run_engine(model_path: str, int8: bool, batch: int, items) -> dict:
+    from neuralbarkcalculator_tpu.config import PredictConfig
+    from neuralbarkcalculator_tpu.pipeline.predict import \
+        NeuralBarkCalculator
+
+    config = PredictConfig(model_path=model_path, batch_size=batch,
+                           quantize_int8=int8)
+    calc = NeuralBarkCalculator(model_path, config=config)
+    return {it.fname: m for it, m in calc.predict_images(items)}
+
+
+def miou(pred: np.ndarray, true: np.ndarray) -> float:
+    """Mean-over-present-classes IoU x100 (EMPTY classes skipped — this
+    is an accuracy anchor, not the reference metric port in ops/)."""
+    vals = []
+    for c in range(3):
+        p, t = pred == c, true == c
+        union = (p | t).sum()
+        if union:
+            vals.append((p & t).sum() / union)
+    return 100.0 * float(np.mean(vals))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model_path", default=os.path.expanduser(
+        "~/.cache/neuralbarkcalculator_tpu/bench_model.msgpack"))
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    print(f"backend={jax.default_backend()}", file=sys.stderr)
+
+    items, masks = build_items()
+    truth = {it.fname: m for it, m in zip(items, masks)}
+    bf16 = run_engine(args.model_path, False, args.batch, items)
+    int8 = run_engine(args.model_path, True, args.batch, items)
+
+    per_image, n_agree, n_total = {}, 0, 0
+    miou_bf16, miou_int8 = [], []
+    for fname in sorted(bf16):
+        a, b = bf16[fname], int8[fname]
+        agree = int((a == b).sum())
+        per_image[fname] = round(100.0 * agree / a.size, 3)
+        n_agree += agree
+        n_total += a.size
+        miou_bf16.append(miou(a, truth[fname]))
+        miou_int8.append(miou(b, truth[fname]))
+
+    out = {
+        "tool": "tools/int8_agreement.py",
+        "protocol": (f"{N_IMAGES}x structured bench images (heights "
+                     f"{HEIGHTS}), trained bench model, production "
+                     "engine class maps (pre postprocess), batch "
+                     f"{args.batch}"),
+        "backend": jax.default_backend(),
+        "pixel_agreement_pct": round(100.0 * n_agree / n_total, 3),
+        "per_image_agreement_pct": per_image,
+        "miou_vs_generated_duals": {
+            "bf16_fold": round(float(np.mean(miou_bf16)), 2),
+            "int8": round(float(np.mean(miou_int8)), 2),
+        },
+    }
+    path = os.path.join(REPO, "benchmarks", "int8_agreement.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items()
+                      if k != "per_image_agreement_pct"}, indent=1))
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
