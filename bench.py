@@ -42,9 +42,9 @@ import numpy as np  # noqa: E402
 N_IMAGES = 16
 DPI = 100
 HEIGHTS = (896, 960, 1024)  # mixed trimmed heights, like real folders
-TIMED_PASSES = 3  # report the best (the dev tunnel's throughput varies
-# run to run, +-20% observed; steady-state per-chip throughput is what
-# the metric means)
+TIMED_PASSES = 3  # report the MEDIAN as the headline (the dev tunnel's
+# throughput varies run to run, +-20% observed); the best pass and the
+# full per-pass list ship alongside so the spread is on the record
 
 
 def build_folder(root: str) -> list[np.ndarray]:
@@ -195,25 +195,29 @@ def main() -> None:
     # per-pass samples ship alongside so BENCH_r* records the spread,
     # not just a best-case sample (VERDICT r3 item 6)
     times = sorted(_timed_pass(calc, root) for _ in range(TIMED_PASSES))
-    elapsed = times[0]
-    ips = N_IMAGES / elapsed
+    best_ips = N_IMAGES / times[0]
     median_ips = N_IMAGES / times[len(times) // 2]
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "reference_baseline.json")
-    vs_baseline = None
+    vs_baseline = vs_baseline_best = None
     if os.path.isfile(baseline_path):
         with open(baseline_path) as f:
             ref = json.load(f)
         ref_ips = 1.0 / ref["sec_per_image"]
-        vs_baseline = ips / ref_ips
+        # headline = MEDIAN pass (VERDICT r4 item 7: best-of-N on a
+        # +-15% tunnel is not the defensible ratio); best kept alongside
+        vs_baseline = median_ips / ref_ips
+        vs_baseline_best = best_ips / ref_ips
 
     print(json.dumps({
         "metric": "folder_predict_1024_images_per_sec_per_chip",
-        "value": round(ips, 3),
+        "value": round(median_ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "median": round(median_ips, 3),
+        "best": round(best_ips, 3),
+        "vs_baseline_best": (round(vs_baseline_best, 2)
+                             if vs_baseline_best else None),
         "passes": [round(N_IMAGES / t, 3) for t in times],
     }))
 

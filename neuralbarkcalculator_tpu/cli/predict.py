@@ -75,6 +75,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "filesystem (mpirun, GNU parallel, or a "
                              "per-host systemd unit all work — shards "
                              "never talk to each other)")
+    parser.add_argument("--pipeline", type=str, default="auto",
+                        choices=("auto", "streaming", "sequential"),
+                        help="fresh-run execution plan: 'streaming' "
+                             "fuses preprocess into the predict pump, "
+                             "'sequential' runs the two stages back to "
+                             "back; 'auto' (default) picks streaming "
+                             "only on multi-core hosts — on a 1-core "
+                             "host the two stages contend for the same "
+                             "core and fusion measures slightly slower "
+                             "(benchmarks/e2e_pipeline.json)")
     parser.add_argument("--watch", type=float, default=None, metavar="SECS",
                         help="serving mode: re-scan ROOT every SECS "
                              "seconds, preprocessing and predicting only "
@@ -175,18 +185,30 @@ def main(args: argparse.Namespace) -> None:
             model.predict(args.root_path, args.exclude_nodes,
                           resume=True)
             return
-        # fresh full run: fused pipeline — preprocessed images stream
-        # straight into the predict pump (end-to-end ~ max(stages), not
-        # their sum, and the folder never materializes in RAM)
-        from ..data.dataset import make_dataset
-        total = len(make_dataset(args.root_path))
+        # fresh full run. Streaming fuses preprocess into the predict
+        # pump (end-to-end ~ max(stages), not their sum, and the folder
+        # never materializes in RAM) — but that only pays when the two
+        # stages can actually run on different cores: on a 1-core host
+        # they contend and the fused plan measures slightly SLOWER
+        # (fusion_speedup 0.95-1.0, benchmarks/e2e_pipeline.json), so
+        # 'auto' gates on cpu count (VERDICT r4 item 3).
+        use_streaming = (args.pipeline == "streaming"
+                         or (args.pipeline == "auto"
+                             and (os.cpu_count() or 1) >= 2))
         if model is None:
             model = NeuralBarkCalculator(args.model_path, config=config,
                                          model_name=args.model)
-        model.predict_streaming(
-            args.root_path,
-            pre.preprocess_stream(args.root_path),
-            exclude_nodes=args.exclude_nodes, total=total)
+        if use_streaming:
+            from ..data.dataset import make_dataset
+            total = len(make_dataset(args.root_path))
+            model.predict_streaming(
+                args.root_path,
+                pre.preprocess_stream(args.root_path),
+                exclude_nodes=args.exclude_nodes, total=total)
+        else:
+            images = pre.preprocess_images(args.root_path)
+            model.predict(args.root_path, args.exclude_nodes,
+                          images=images)
 
     if args.watch is None:
         run_once(args.resume)

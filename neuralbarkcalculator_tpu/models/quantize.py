@@ -134,6 +134,23 @@ def quantize_variables(folded_variables: Mapping[str, Any], stats: dict,
             conv(bscope + ("conv3",), s_t2, s_out)
             if block == 0 and (stride != 1 or inplanes != planes * 4):
                 conv(bscope + ("downsample_conv",), s_prev, s_out)
+                # requant_signed clips this branch to +-127*s_out; the
+                # clip is only sound if the calibrated branch magnitude
+                # fits (ADVICE r4: the branch CAN exceed the post-ReLU
+                # block output it shares a scale with). Warn on overflow
+                # risk — saturation there is a systematic error, not
+                # rounding. (q_ds missing = pre-r5 stats; skip quietly.)
+                ds_key = bscope + ("q_ds",)
+                if ds_key in stats and stats[ds_key] > 127.0 * s_out:
+                    import warnings
+                    warnings.warn(
+                        f"int8 calibration: {name} downsample branch "
+                        f"max-abs {stats[ds_key]:.3g} exceeds its "
+                        f"residual clip range {127.0 * s_out:.3g} "
+                        f"({stats[ds_key] / (127.0 * s_out):.2f}x) — "
+                        "expect saturation error in this block; "
+                        "calibrate on more representative data",
+                        stacklevel=2)
             else:
                 out[bscope + ("s_ratio",)] = np.float32(s_prev / s_out)
             s_prev = s_out
@@ -217,17 +234,22 @@ def is_quantized_checkpoint(path: str) -> bool:
         return f.read(len(QCKPT_TAG)) == QCKPT_TAG
 
 
-def load_quantized(path: str, model_name: str = "fcn_resnet50"):
+def load_quantized(path: str, model_name: str = "fcn_resnet50",
+                   dtype: Any = None):
     """Offline int8 checkpoint -> (quantized model, quantized variables).
 
     ``model_name`` must name the factory the checkpoint was quantized
-    from (shape mismatches surface as flax deserialization errors)."""
+    from (shape mismatches surface as flax deserialization errors).
+    ``dtype`` sets the compute dtype of the non-quantized islands (the
+    bf16 stem, ASPP pooled branch); default bfloat16 — the precision
+    offline exports are calibrated at (tools/quantize_checkpoint.py)."""
     import flax.serialization
     import jax
     import jax.numpy as jnp
 
     from .segmentation import MODEL_FACTORIES
-    model = MODEL_FACTORIES[model_name]()
+    model = MODEL_FACTORIES[model_name](
+        dtype=jnp.bfloat16 if dtype is None else dtype)
     qmodel = model.clone(
         backbone=model.backbone.clone(quantized=True),
         classifier=model.classifier.clone(quantized=True))

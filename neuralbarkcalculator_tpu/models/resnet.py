@@ -116,6 +116,12 @@ class Bottleneck(nn.Module):
             identity = conv(self.planes * 4, 1, self.stride, 1,
                             "downsample_conv")(x)
             identity = norm("downsample_bn")(identity)
+            if self.folded:
+                # the int8 path requantizes this branch to s_out with a
+                # symmetric +-127 clip (qops.requant_signed); calibrate
+                # its own max-abs so quantize_variables can verify the
+                # clip covers the observed range (warn if not)
+                self.sow("quant_stats", "q_ds", jnp.max(jnp.abs(identity)))
 
         out = nn.relu(out + identity.astype(out.dtype))
         if self.folded:
@@ -138,8 +144,13 @@ class Bottleneck(nn.Module):
         s32 accumulator (9.2 GB/step of s32 at batch 32 before this
         layout, benchmarks/int8_hlo_diag.json). The extra rounding of
         the downsample branch (one int8 quantization at s_out, the scale
-        the block output is about to be quantized to anyway) is the only
-        numeric difference vs the f32-residual formulation."""
+        the block output is about to be quantized to anyway) is one
+        numeric difference vs the f32-residual formulation; the other is
+        requant_signed's symmetric clip to +-127*s_out — the branch
+        magnitude is not bounded by the post-ReLU block output whose
+        scale it borrows, so values past the clip saturate
+        systematically. Calibration sows the branch max-abs (q_ds) and
+        quantize_variables warns when it exceeds the clip range."""
         from . import qops
 
         def qp(name, shape, dtype=jnp.float32):
@@ -251,15 +262,19 @@ class DilatedResNet(nn.Module):
         # The raw input is zero below valid_h by construction (host pads
         # with zeros), so the stem conv needs no input mask.
         if self.quantized:
-            # The stem stays bf16 (same folded conv1 kernel+bias layout as
-            # the bf16+fold path): with C_in=3 an int8 stem packs 3 of the
-            # MXU's 32 depth lanes and measured SLOWER than bf16 (0.466 vs
-            # 0.385 ms/img at b32, benchmarks/int8_backbone_stages.json).
-            # Quantization happens after the max pool below, where the
-            # tensor is 64-deep and 4x smaller.
+            # The stem stays un-quantized (same folded conv1 kernel+bias
+            # layout as the bf16+fold path): with C_in=3 an int8 stem
+            # packs 3 of the MXU's 32 depth lanes and measured SLOWER
+            # than bf16 (0.466 vs 0.385 ms/img at b32,
+            # benchmarks/int8_backbone_stages.json). Quantization happens
+            # after the max pool below, where the tensor is 64-deep and
+            # 4x smaller. Compute dtype = self.dtype so the stem runs at
+            # the same precision q_stem/inv_s_stem were calibrated at
+            # (ADVICE r4: a hardcoded bf16 here diverged from f32-config
+            # calibration runs).
             x = nn.Conv(64, (7, 7), strides=(2, 2),
                         padding=[(3, 3), (3, 3)], use_bias=True,
-                        dtype=jnp.bfloat16, name="conv1")(x)
+                        dtype=self.dtype, name="conv1")(x)
             x = nn.relu(x)
         else:
             if self.folded:  # calibration point; gated so plain

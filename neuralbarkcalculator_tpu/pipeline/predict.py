@@ -71,7 +71,8 @@ class NeuralBarkCalculator:
             # at export time, so no folding and no first-chunk
             # calibration — the engine starts quantized
             from ..models.quantize import load_quantized
-            self.model, variables = load_quantized(model_path, model_name)
+            self.model, variables = load_quantized(model_path, model_name,
+                                                   dtype=dtype)
         else:
             self.model = MODEL_FACTORIES[model_name](dtype=dtype)
             variables = _load_variables(model_path, model_name)

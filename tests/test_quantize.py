@@ -316,3 +316,24 @@ def test_quantize_checkpoint_tool(tmp_path):
     y = np.asarray(qm.apply(qv, np.zeros((1, 64, 64, 3), np.float32),
                             train=False))
     assert y.shape == (1, 64, 64, 3)
+
+
+def test_committed_int8_agreement_floor():
+    """Gate the COMMITTED benchmarks/int8_agreement.json (VERDICT r4
+    item 1c): the int8 engine must agree with bf16 on >= 99.5% of pixels
+    on the structured bench folder (measured 99.88% with the checkpoint's
+    training normalization), and the mIoU accuracy anchor must be
+    meaningful — a model that actually segments (>= 40), with int8
+    within 1 mIoU point of bf16. Regenerate with
+    tools/int8_agreement.py on TPU if the engine's numerics change."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "int8_agreement.json")
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["normalization"] == "checkpoint training stats", rec
+    assert rec["pixel_agreement_pct"] >= 99.5, rec
+    miou = rec["miou_vs_generated_duals"]
+    assert miou["bf16_fold"] >= 40.0, miou
+    assert abs(miou["bf16_fold"] - miou["int8"]) <= 1.0, miou

@@ -138,8 +138,11 @@ def main() -> None:
         "batch": args.batch,
         "backend": jax.default_backend(),
     }
+    # layer4 block0's conv2 runs d=2 at 512 planes (torchvision
+    # previous_dilation semantics); layer3 block0 is d=1 (already dense)
     for label, hw, cin, d in (("layer3_conv2_d2", 128, 256, 2),
-                              ("layer4_conv2_d4", 128, 512, 4)):
+                              ("layer4_conv2_d4", 128, 512, 4),
+                              ("layer4_block0_conv2_d2", 128, 512, 2)):
         for dt in ("s8", "bf16"):
             key = f"{label}_{dt}"
             out[key] = probe_shape(args.batch, hw, cin, d, dt)

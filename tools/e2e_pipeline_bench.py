@@ -58,7 +58,7 @@ def reset_outputs(root: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--images", type=int, default=8)
-    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--passes", type=int, default=5)
     ap.add_argument("--model_path", default=os.path.expanduser(
         "~/.cache/neuralbarkcalculator_tpu/bench_model.msgpack"))
     args = ap.parse_args()
@@ -104,24 +104,33 @@ def main() -> None:
                                total=args.images, progress=False)
         return time.perf_counter() - t0
 
-    # warmup pass compiles every program + warms transfer shapes
+    # warmup pass compiles every program + warms transfer shapes.
+    # Passes INTERLEAVE the two variants so slow tunnel drift hits both
+    # sides equally, and the headline is the MEDIAN pass with the full
+    # spread on the record (VERDICT r4 item 3: round-4's best-of-2 with
+    # overlapping pass distributions could not establish a direction).
     run_streaming()
-    seq = [run_sequential() for _ in range(args.passes)]
-    stream = [run_streaming() for _ in range(args.passes)]
+    seq, stream = [], []
+    for _ in range(args.passes):
+        seq.append(run_sequential())
+        stream.append(run_streaming())
 
+    med_seq = sorted(seq)[len(seq) // 2]
+    med_stream = sorted(stream)[len(stream) // 2]
     result = {
         "tool": "tools/e2e_pipeline_bench.py",
         "protocol": f"{args.images}x {SRC}^2 BMP -> native decode -> "
                     f"preprocess (resize 1024^2 + trim) -> predict -> "
                     f"postprocess -> figures(dpi={DPI}) + duals + CSV; "
-                    f"best of {args.passes} timed passes after warmup",
+                    f"median of {args.passes} interleaved timed passes "
+                    f"after warmup (spread recorded)",
         "backend": jax.default_backend(),
         "host_cpus": os.cpu_count(),
-        "sequential_sec_per_image": round(min(seq) / args.images, 3),
-        "streaming_sec_per_image": round(min(stream) / args.images, 3),
-        "sequential_img_per_sec": round(args.images / min(seq), 3),
-        "streaming_img_per_sec": round(args.images / min(stream), 3),
-        "fusion_speedup": round(min(seq) / min(stream), 2),
+        "sequential_sec_per_image": round(med_seq / args.images, 3),
+        "streaming_sec_per_image": round(med_stream / args.images, 3),
+        "sequential_img_per_sec": round(args.images / med_seq, 3),
+        "streaming_img_per_sec": round(args.images / med_stream, 3),
+        "fusion_speedup": round(med_seq / med_stream, 2),
         "passes_sequential_s": [round(t, 2) for t in seq],
         "passes_streaming_s": [round(t, 2) for t in stream],
     }

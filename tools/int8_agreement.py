@@ -15,6 +15,18 @@ model, and reports:
   agreement number has an accuracy anchor: int8 must not just agree
   with bf16, it must segment equally well.
 
+Provenance note (VERDICT r4 item 1): the round-4 run of this tool
+normalized inputs with the REFERENCE constants instead of the bench
+checkpoint's training stats, which put the model at an operating point
+where it barely segmented (mIoU anchor ~17) and measured agreement at
+98.94% — and that mis-measured number leaked into the docs next to the
+correct 99.88%. With the normalization fixed (checkpoint_norm_stats, the
+same sidecar bench.py reads) the measured numbers are agreement 99.88%
+and a meaningful anchor (mIoU ~67 for both configs, eval-protocol mIoU
+of a model that trains to ~77 train-mIoU): the round-4 residual-requant
+change cost nothing — the apparent regression was the broken anchor.
+tests/test_quantize.py gates the committed JSON's floor.
+
 Writes benchmarks/int8_agreement.json.
 Run: python tools/int8_agreement.py [--batch 8]
 """
@@ -51,6 +63,24 @@ def build_items():
     return items, masks
 
 
+def checkpoint_norm_stats(model_path: str):
+    """(mean, std) the bench checkpoint was trained with, or None.
+
+    Round-4's run of this tool normalized with the REFERENCE constants
+    (models.py:208-209 in /root/reference) while bench.py deliberately
+    swaps in the checkpoint's own training stats — so the mIoU anchor
+    came out at ~17 (the model barely segmented), voiding the anchor
+    (VERDICT r4 item 1a). Use the exact same sidecar bench.py reads.
+    """
+    from make_bench_model import stats_path
+
+    if os.path.isfile(stats_path(model_path)):
+        with open(stats_path(model_path)) as f:
+            stats = json.load(f)
+        return stats["mean"], stats["std"]
+    return None
+
+
 def run_engine(model_path: str, int8: bool, batch: int, items) -> dict:
     from neuralbarkcalculator_tpu.config import PredictConfig
     from neuralbarkcalculator_tpu.pipeline.predict import \
@@ -58,6 +88,9 @@ def run_engine(model_path: str, int8: bool, batch: int, items) -> dict:
 
     config = PredictConfig(model_path=model_path, batch_size=batch,
                            quantize_int8=int8)
+    stats = checkpoint_norm_stats(model_path)
+    if stats is not None:
+        config.mean, config.std = stats
     calc = NeuralBarkCalculator(model_path, config=config)
     return {it.fname: m for it, m in calc.predict_images(items)}
 
@@ -81,6 +114,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
+    from neuralbarkcalculator_tpu.cli.predict import _enable_compile_cache
+    _enable_compile_cache()
+
     import jax
     print(f"backend={jax.default_backend()}", file=sys.stderr)
 
@@ -100,12 +136,16 @@ def main() -> None:
         miou_bf16.append(miou(a, truth[fname]))
         miou_int8.append(miou(b, truth[fname]))
 
+    stats = checkpoint_norm_stats(args.model_path)
     out = {
         "tool": "tools/int8_agreement.py",
         "protocol": (f"{N_IMAGES}x structured bench images (heights "
                      f"{HEIGHTS}), trained bench model, production "
                      "engine class maps (pre postprocess), batch "
                      f"{args.batch}"),
+        "normalization": ("checkpoint training stats" if stats is not None
+                          else "reference constants (NO stats sidecar — "
+                               "mIoU anchor is NOT meaningful)"),
         "backend": jax.default_backend(),
         "pixel_agreement_pct": round(100.0 * n_agree / n_total, 3),
         "per_image_agreement_pct": per_image,

@@ -1,30 +1,32 @@
 """Per-stage attribution of the int8 (and bf16+fold) engine step.
 
-VERDICT r3 item 2: the int8 engine step plateaus at ~5.3 ms/img (b32)
-against an isolated conv probe suggesting 1.6-2x over bf16; the gap was
-asserted to be the non-conv remainder (Pallas upsample/argmax, f32
-residual adds, requant epilogues) but never measured. This tool measures
-it, stage by stage, with cumulative-prefix programs under the same
-dispatch-differencing protocol as tools/inference_step_bench.py:
+VERDICT r3 item 2 / r4 item 6: the int8 engine step plateaus at
+~5.0 ms/img (b32) against an isolated conv probe suggesting 1.6-2x over
+bf16; the attribution says where the non-conv remainder lives. Round 4
+measured it with CUMULATIVE-PREFIX programs (stage = adjacent
+difference of P_k programs) — and produced a NEGATIVE stage time
+(-8.78 ms for bf16 upsample_argmax): adding a stage changed XLA's
+layout/fusion decisions enough that the longer program ran faster, so
+prefix differencing cannot isolate stages across fusion boundaries.
 
-  P0  normalize + row mask                 (u8 -> masked normalized f32)
-  P1  P0 + backbone forward                (feature map, stride 8)
-  P2  P1 + head                            (= engine head_logits method)
-  P3  P2 + Pallas upsample/argmax          (engine step, pack=False)
-  P4  P3 + 2-bit pack                      (the exact production step)
+This version times each stage as its OWN ISOLATED jitted program, fed a
+device-resident input materialized once from the previous stage:
 
-Stage costs are adjacent differences (P1-P0 = backbone, etc.), so they
-sum to P4 by construction; program boundaries change layout/fusion
-decisions slightly, so the decomposition is attribution-grade, not
-exact. As a protocol-consistency anchor, "unified_bench_ms_per_img"
-echoes the committed benchmarks/inference_step.json row for the same
-batch/dtype and "scalarize_residual_ms_per_img" is P4 minus that row
-(the cost delta of the on-device sum + prefix-program layout shifts
-vs the real packed-pull step). Every prefix program reduces its output to a
-scalar ON DEVICE (sum): the raw intermediates reach 384 MB, and pulling
-them through a slow dev link adds seconds of run-to-run variance that
-swamps the differencing. The absolute per-image step time of the REAL
-(non-scalarized) production step lives in benchmarks/inference_step.json.
+  S_normalize        u8 batch          -> masked normalized f32
+  S_backbone         normalized f32    -> stride-8 feature map
+  S_head             feature map       -> 3-class logits (stride 8)
+  S_upsample_argmax  logits + row ops  -> class map (Pallas kernel)
+  S_pack             class map         -> 2-bit packed pull buffer
+
+No difference of two programs is taken, so no stage can go negative.
+The stages do NOT sum exactly to the fused production step: each
+isolated program materializes its input/output through HBM where the
+fused step lets XLA fuse across the boundary; "isolated_sum_ms" vs
+"fused_step_ms" quantifies that (fusion gain >= 0 is the expected
+sign). Every program reduces its output to a scalar ON DEVICE (sum):
+raw intermediates reach 384 MB and a slow dev link's pull variance
+would swamp the clock. The absolute per-image time of the REAL packed
+production step lives in benchmarks/inference_step.json.
 
 Writes benchmarks/int8_attribution.json.
 Run: python tools/int8_attribution.py [--batch 32] [--no_int8]
@@ -71,12 +73,15 @@ def build(model_path: str, int8: bool, batch: int):
 
 
 def attribute(calc, batch: int, h: int = 1024, w: int = 1024) -> dict:
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from neuralbarkcalculator_tpu.models.resnet import apply_row_mask
-    from neuralbarkcalculator_tpu.models.segmentation import \
-        SegmentationModel
+    from neuralbarkcalculator_tpu.ops.pallas_kernels import upsample_argmax
+    from neuralbarkcalculator_tpu.ops.resize import bicubic_resize_matrix
+    from neuralbarkcalculator_tpu.pipeline.predict import _pack2bit
     from neuralbarkcalculator_tpu.pipeline.preprocess import ProcessedImage
 
     rng = np.random.default_rng(0)
@@ -100,67 +105,72 @@ def attribute(calc, batch: int, h: int = 1024, w: int = 1024) -> dict:
         x = (x - mean) / std
         return apply_row_mask(x, valid_h)
 
-    # Every prefix program returns a device-side SCALAR (sum of its
-    # output): the intermediates are up to 384 MB (normalized f32 batch)
-    # and pulling them through a slow link makes the pull's run-to-run
-    # variance (seconds) swamp the dispatch differencing — the first
-    # version of this tool produced NEGATIVE stage times exactly that
-    # way. The on-device reduction adds one HBM pass (<1 ms at these
-    # sizes), identical across K, so it cancels in the differences.
+    # Every stage program returns a device-side SCALAR (sum of its
+    # output): intermediates are up to 384 MB and a slow link's pull
+    # variance would swamp the clock. The reduction adds <1 ms of HBM
+    # traffic; it is part of each stage's quoted cost.
     def scalar(x):
         return jnp.sum(x.astype(jnp.float32))
 
-    p0 = jax.jit(lambda v, b, s: scalar(normalize(b, s)))
-    # backbone-only: slice every collection's "backbone" subtree inside
-    # the traced fn so the same code serves plain ({params, batch_stats})
-    # and folded/quantized ({params}-only) variable layouts
-    p1 = jax.jit(lambda v, b, s: scalar(model.backbone.apply(
-        {c: t["backbone"] for c, t in v.items()
-         if isinstance(t, dict) and "backbone" in t},
-        normalize(b, s), train=False, valid_h=s)))
+    # slice per-collection subtrees inside the traced fn so the same
+    # code serves plain ({params, batch_stats}) and folded/quantized
+    # ({params}-only) variable layouts
+    def subvars(v, name):
+        return {c: t[name] for c, t in v.items()
+                if isinstance(t, dict) and name in t}
 
-    def head_logits(v, b, s):
-        return model.apply(v, normalize(b, s), train=False, valid_h=s,
-                           method=SegmentationModel.head_logits)
+    def backbone_feat(v, x, s):
+        return model.backbone.apply(subvars(v, "backbone"), x,
+                                    train=False, valid_h=s)
 
-    # NB head_logits re-normalizes inside (cumulative prefix): P2 - P1 is
-    # the head alone only up to the shared prefix, which both sides pay.
-    p2 = jax.jit(lambda v, b, s: scalar(head_logits(v, b, s)))
-    step3 = calc._device_step(h, batch, pack=False)
-    step4 = calc._device_step(h, batch, pack=True)
-    # The engine step is already a top-level jit carrying its own
-    # compiler_options (scoped VMEM for the Pallas kernel) — it cannot be
-    # nested inside another jit. Scalarize with a SECOND tiny dispatch
-    # instead: the uint8 outputs are 8-32 MB (not the 384 MB f32 of
-    # P0-P2), the sum never leaves the device, and the extra dispatch is
-    # identical across K so it cancels in the differencing.
+    # materialize each stage's input ONCE, device-resident
+    x_norm = jax.jit(normalize)(dev, vh)
+    feat = jax.jit(backbone_feat)(variables, x_norm, vh)
+    feat_h = model.backbone.valid_feature_height(vh)
+
+    def head(v, f, fh):
+        return model.classifier.apply(subvars(v, "classifier"), f,
+                                      train=False,
+                                      valid_h=fh).astype(jnp.float32)
+
+    logits = jax.jit(head)(variables, feat, feat_h)
+    colt = jnp.asarray(np.ascontiguousarray(
+        bicubic_resize_matrix(logits.shape[2], w).T), jnp.float32)
+    interpret = bool(getattr(calc.config, "pallas_interpret", False))
+    kernel = functools.partial(upsample_argmax, out_w=w,
+                               interpret=interpret)
+    preds = jax.jit(lambda lg, r, c: kernel(lg, r, c))(logits, row_ops,
+                                                       colt)
+
+    s_norm = jax.jit(lambda b, s: scalar(normalize(b, s)))
+    s_backbone = jax.jit(lambda v, x, s: scalar(backbone_feat(v, x, s)))
+    s_head = jax.jit(lambda v, f, fh: scalar(head(v, f, fh)))
+    s_upsample = jax.jit(lambda lg, r, c: scalar(kernel(lg, r, c)))
+    s_pack = jax.jit(lambda p: scalar(_pack2bit(p)))
+    # the fused production step for the fusion-gain comparison; it
+    # carries its own compiler_options so it cannot nest in another jit
+    # — scalarize with a second tiny dispatch (uint8 output is small)
+    step = calc._device_step(h, batch, pack=True)
     sum_dev = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
-    p3 = lambda v, b, s, r: sum_dev(step3(v, b, s, r))
-    p4 = lambda v, b, s, r: sum_dev(step4(v, b, s, r))
-
-    rows = {}
-    rows["P0_normalize_ms"] = time_fn(p0, (variables, dev, vh))
-    rows["P1_plus_backbone_ms"] = time_fn(p1, (variables, dev, vh))
-    rows["P2_plus_head_ms"] = time_fn(p2, (variables, dev, vh))
-    rows["P3_plus_upsample_argmax_ms"] = time_fn(
-        p3, (variables, dev, vh, row_ops))
-    rows["P4_plus_pack_ms"] = time_fn(p4, (variables, dev, vh, row_ops))
+    fused = lambda v, b, s, r: sum_dev(step(v, b, s, r))
 
     stages = {
-        "normalize": rows["P0_normalize_ms"],
-        "backbone": rows["P1_plus_backbone_ms"] - rows["P0_normalize_ms"],
-        "head": rows["P2_plus_head_ms"] - rows["P1_plus_backbone_ms"],
-        "upsample_argmax": (rows["P3_plus_upsample_argmax_ms"]
-                            - rows["P2_plus_head_ms"]),
-        "pack": rows["P4_plus_pack_ms"]
-                - rows["P3_plus_upsample_argmax_ms"],
+        "normalize": time_fn(s_norm, (dev, vh)),
+        "backbone": time_fn(s_backbone, (variables, x_norm, vh)),
+        "head": time_fn(s_head, (variables, feat, feat_h)),
+        "upsample_argmax": time_fn(s_upsample, (logits, row_ops, colt)),
+        "pack": time_fn(s_pack, (preds,)),
     }
+    fused_ms = time_fn(fused, (variables, dev, vh, row_ops))
+    isolated_sum = sum(stages.values())
     return {
-        "cumulative_ms": {k: round(v, 2) for k, v in rows.items()},
         "stage_ms": {k: round(v, 2) for k, v in stages.items()},
         "stage_ms_per_img": {k: round(v / batch, 3)
                              for k, v in stages.items()},
-        "full_step_ms_per_img": round(rows["P4_plus_pack_ms"] / batch, 3),
+        "isolated_sum_ms": round(isolated_sum, 2),
+        "fused_step_ms": round(fused_ms, 2),
+        "fusion_gain_ms": round(isolated_sum - fused_ms, 2),
+        "full_step_ms_per_img": round(fused_ms / batch, 3),
     }
 
 
@@ -179,9 +189,13 @@ def main() -> None:
 
     out: dict[str, object] = {
         "tool": "tools/int8_attribution.py",
-        "protocol": ("cumulative-prefix programs, dispatch differencing "
-                     "(T_24-T_4)/20, best of 3; stage = adjacent "
-                     "difference; 1024x1024, trained bench model"),
+        "protocol": ("ISOLATED per-stage programs (each stage its own "
+                     "jit on a device-resident input, on-device scalar "
+                     "reduce), dispatch differencing (T_24-T_4)/20, "
+                     "best of 3; no program differences taken, so no "
+                     "stage can go negative; isolated_sum - fused_step "
+                     "= XLA cross-stage fusion gain; 1024x1024, "
+                     "trained bench model"),
         "batch": args.batch,
         "backend": jax.default_backend(),
     }
