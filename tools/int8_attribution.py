@@ -18,7 +18,10 @@ device-resident input materialized once from the previous stage:
   S_upsample_argmax  logits + row ops  -> class map (Pallas kernel)
   S_pack             class map         -> 2-bit packed pull buffer
 
-No difference of two programs is taken, so no stage can go negative.
+No difference of two programs is taken, so no stage can go
+structurally negative the way prefix differencing did (a near-free
+stage like the 2-bit pack can still read +-0.05 ms of dispatch-clock
+noise around zero — that is clock resolution, not protocol error).
 The stages do NOT sum exactly to the fused production step: each
 isolated program materializes its input/output through HBM where the
 fused step lets XLA fuse across the boundary; "isolated_sum_ms" vs
@@ -139,13 +142,21 @@ def attribute(calc, batch: int, h: int = 1024, w: int = 1024) -> dict:
     interpret = bool(getattr(calc.config, "pallas_interpret", False))
     kernel = functools.partial(upsample_argmax, out_w=w,
                                interpret=interpret)
-    preds = jax.jit(lambda lg, r, c: kernel(lg, r, c))(logits, row_ops,
-                                                       colt)
+    # The isolated upsample programs need the same scoped-VMEM headroom
+    # the production step grants itself (predict.py::_device_step): at
+    # batch 32 XLA stack-allocates the kernel's [B, OH, OW] u8 output in
+    # scoped VMEM and the default 16 MB limit is a compile-time OOM.
+    vmem_opts = ({"xla_tpu_scoped_vmem_limit_kib": 32768}
+                 if jax.default_backend() == "tpu" and not interpret
+                 else None)
+    preds = jax.jit(lambda lg, r, c: kernel(lg, r, c),
+                    compiler_options=vmem_opts)(logits, row_ops, colt)
 
     s_norm = jax.jit(lambda b, s: scalar(normalize(b, s)))
     s_backbone = jax.jit(lambda v, x, s: scalar(backbone_feat(v, x, s)))
     s_head = jax.jit(lambda v, f, fh: scalar(head(v, f, fh)))
-    s_upsample = jax.jit(lambda lg, r, c: scalar(kernel(lg, r, c)))
+    s_upsample = jax.jit(lambda lg, r, c: scalar(kernel(lg, r, c)),
+                         compiler_options=vmem_opts)
     s_pack = jax.jit(lambda p: scalar(_pack2bit(p)))
     # the fused production step for the fusion-gain comparison; it
     # carries its own compiler_options so it cannot nest in another jit
@@ -193,9 +204,11 @@ def main() -> None:
                      "jit on a device-resident input, on-device scalar "
                      "reduce), dispatch differencing (T_24-T_4)/20, "
                      "best of 3; no program differences taken, so no "
-                     "stage can go negative; isolated_sum - fused_step "
-                     "= XLA cross-stage fusion gain; 1024x1024, "
-                     "trained bench model"),
+                     "stage can go STRUCTURALLY negative (near-free "
+                     "stages like pack can still read +-0.05 ms of "
+                     "dispatch-clock noise around zero); isolated_sum "
+                     "- fused_step = XLA cross-stage fusion gain; "
+                     "1024x1024, trained bench model"),
         "batch": args.batch,
         "backend": jax.default_backend(),
     }
