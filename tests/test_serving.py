@@ -433,6 +433,11 @@ def test_serving_soak_short(calc):
     report = run_soak(calc, seconds=45.0, clients=4,
                       heights=(64, 96, 128), widths=(64,),
                       max_wait_ms=10.0, rss_tolerance=0.15)
+    assert report["violations"] == []
     assert report["served"] > 50
     assert report["errors"] == 0
     assert report["mean_batch"] > 1.0
+    # this lane runs on the CPU mesh = clean PJRT, so the raw flat-RSS
+    # invariant is in force (module docstring: the clean-platform lane
+    # is the one that catches per-request leaks in our stack)
+    assert report["platform_retention"]["clean_platform"]

@@ -165,15 +165,27 @@ def gen_e2e_row() -> str:
 def gen_serving_soak() -> str:
     """DEPLOY.md: the committed serving-soak summary line."""
     s = _load("serving_soak.json")
-    lat, rss = s["latency_ms"], s["rss_mb"]
+    lat = s["latency_ms"]
+    pr = s.get("platform_retention", {})
+    if pr.get("clean_platform"):
+        rss = s["rss_mb"]
+        rss_part = (f"RSS flat {rss['first_third_mean']:.0f} → "
+                    f"{rss['last_third_mean']:.0f} MB (clean PJRT, raw "
+                    f"invariant)")
+    else:
+        res = s["rss_resid_mb"]
+        rss_part = (f"upload-independent RSS flat "
+                    f"{res['first_third_mean']:.0f} → "
+                    f"{res['last_third_mean']:.0f} MB (raw RSS tracks "
+                    f"the dev tunnel's {pr.get('fitted_mb_per_mb', 0):.2f}"
+                    f" MB/MB transfer retention — see the RSS-attribution"
+                    f" bullet below)")
     return (f"{s['seconds'] / 60.0:.0f}-minute soak, {s['clients']} "
             f"concurrent clients, {s['served']} requests served "
             f"({s['errors']} errors): {s['throughput_rps']:.1f} req/s "
             f"sustained, p50/p95/p99 {lat['p50'] / 1e3:.2f}/"
-            f"{lat['p95'] / 1e3:.2f}/{lat['p99'] / 1e3:.2f} s, RSS flat "
-            f"{rss['first_third_mean']:.0f} → "
-            f"{rss['last_third_mean']:.0f} MB, mean batch "
-            f"{s['mean_batch']:.1f}")
+            f"{lat['p95'] / 1e3:.2f}/{lat['p99'] / 1e3:.2f} s, "
+            f"{rss_part}, mean batch {s['mean_batch']:.1f}")
 
 
 GENERATORS = {
