@@ -161,6 +161,13 @@ class PredictConfig:
     # chunk as two device_put groups so the first transfer starts after
     # a few decodes instead of after the whole chunk (dead link time at
     # every chunk head on a bandwidth-bound host<->device path)
+    compiler_options: dict | None = None  # extra XLA:TPU options merged
+    # over the device step's defaults (predict.py::_build_device_step
+    # already sets xla_tpu_scoped_vmem_limit_kib for the Pallas step;
+    # entries here win on key collisions). Escape hatch for deployment
+    # tuning — measured on this stack the accepted knobs are neutral
+    # for inference (benchmarks/inference_opts.json), and unknown keys
+    # are rejected at compile time by the server-side compiler.
     effnet_bucket_heights: bool = False  # EfficientNet backbones can't
     # run masked ragged batches exactly (TF-SAME stride phase,
     # models/efficientnet.py), so by default they compile one program

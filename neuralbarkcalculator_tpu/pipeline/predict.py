@@ -886,16 +886,25 @@ class NeuralBarkCalculator:
             preds = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
             return _pack2bit(preds) if pack else preds
 
-        # scoped-vmem headroom: XLA:TPU's buffer assignment sometimes
-        # stack-allocates the pallas kernel's whole [B, OH, OW] u8 output
-        # (plus operands) in scoped VMEM; at batch 8 the int8 program hit
-        # the default 16 MB limit as a compile-time OOM ("should not be
-        # possible", per the error text). v5e has 128 MB of VMEM and the
-        # kernel itself stages ~1 MB blocks, so doubling the scoped limit
-        # for THIS program is free headroom, not a perf trade.
-        options = ({"xla_tpu_scoped_vmem_limit_kib": 32768}
+        # scoped-vmem: two reasons to raise the 16 MB default for THIS
+        # program. (1) Correctness headroom: XLA:TPU's buffer assignment
+        # sometimes stack-allocates the pallas kernel's whole [B, OH, OW]
+        # u8 output (plus operands) in scoped VMEM; at batch 8 the int8
+        # program hit the default limit as a compile-time OOM ("should
+        # not be possible", per the error text). (2) Measured perf: the
+        # round-5 ladder scan (tools/inference_opts_probe.py,
+        # benchmarks/inference_opts{,_vmem}.json) found 64 MB fastest in
+        # both modes across two passes — bf16 7.25-7.30 -> 7.04-7.12,
+        # int8 4.99-5.02 -> 4.77-4.86 ms/img at b32 (2-4%) — while
+        # 96 MB REGRESSES both (crowds out the compiler's other on-chip
+        # buffers); v5e has 128 MB of VMEM total. The other accepted
+        # XLA knobs (latency-hiding off, rwb fusion off) are neutral.
+        options = ({"xla_tpu_scoped_vmem_limit_kib": 65536}
                    if use_pallas and jax.default_backend() == "tpu"
                    else None)
+        extra = getattr(self.config, "compiler_options", None)
+        if extra:  # deployment escape hatch; user keys win
+            options = {**(options or {}), **extra}
         return jax.jit(step, out_shardings=data_only,
                        compiler_options=options)
 

@@ -146,7 +146,7 @@ def attribute(calc, batch: int, h: int = 1024, w: int = 1024) -> dict:
     # the production step grants itself (predict.py::_device_step): at
     # batch 32 XLA stack-allocates the kernel's [B, OH, OW] u8 output in
     # scoped VMEM and the default 16 MB limit is a compile-time OOM.
-    vmem_opts = ({"xla_tpu_scoped_vmem_limit_kib": 32768}
+    vmem_opts = ({"xla_tpu_scoped_vmem_limit_kib": 65536}
                  if jax.default_backend() == "tpu" and not interpret
                  else None)
     preds = jax.jit(lambda lg, r, c: kernel(lg, r, c),
